@@ -1,0 +1,50 @@
+"""Last-writer-wins dedup — the explicit form of the reference's implicit
+single-consumer in-order apply loop (``pkg/replicator/service.go:391-413``;
+positions totally ordered per ``pkg/position/mysql_position.go:78-98``).
+
+Two layers:
+
+1. ``dedup_exact`` — drop redelivered events (same event_id), the
+   at-least-once redelivery the reference's Kafka auto-commit can produce
+   (``pkg/streams/kafka_stream.go:370``).
+2. ``lww_latest`` — one surviving row per key: the max-``seq`` image.
+   Parallel-safe replacement for "apply in log order".
+
+Both are single-shuffle DataFrame ops (hash partition on the key); at
+cluster scale the key (repo, path, commit) is high-cardinality so the
+shuffle is skew-resistant even with hot repos.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dedup_exact(df: DataFrame, id_col: str = "event_id") -> DataFrame:
+    """Exactly-once within the visible frame: keep one row per event id."""
+    return df.dropDuplicates([id_col])
+
+
+def lww_latest(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    seq_col: str = "seq",
+    tiebreak_col: str | None = "event_id",
+) -> DataFrame:
+    """Keep, per key, only the row with the greatest ``seq``.
+
+    ``tiebreak_col`` makes the result deterministic if two events ever
+    share a seq (should not happen for a real LSN; belt and braces).
+    """
+    order = [F.col(seq_col).desc()]
+    if tiebreak_col is not None and tiebreak_col in df.columns:
+        order.append(F.col(tiebreak_col).desc())
+    w = Window.partitionBy(*[F.col(c) for c in key_cols]).orderBy(*order)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
