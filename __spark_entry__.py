@@ -1,38 +1,530 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry exercises one operator family from SURVEY.md §2,
+expressed Spark-first (DataFrame API, Catalyst-optimized), with a
+DuckDB-equivalent oracle in ``oracle_sql()``.
+
+The CDC operators run over a change feed synthesized *identically* in
+Spark and in the oracle SQL from the driver's ``events`` table:
+seq = event_id (the LSN total order), key = (repo, path, commit) derived
+from (user_id, event_type), op mapped from event_type, payload = props
+JSON. This keeps the driver's value-hash comparison meaningful for CDC
+semantics (LWW, dedup, merge final state) without external state.
+
+The actual stateful engine (lake-table MERGE, streaming, exactly-once)
+lives in replicator_spark/ and is exercised by tests/ — `entry` runs the
+flagship LWW-final-state query.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Synthesized CDC feed (shared semantics with the SQL CTE below)
+# ---------------------------------------------------------------------------
+
+
+def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → canonical change feed (SURVEY §1.1 T14 normalization)."""
+    ev = _load(spark, sf_dir, "events")
+    return ev.select(
+        F.col("event_id").alias("seq"),
+        F.col("user_id"),
+        F.concat(F.lit("repo-"), (F.col("user_id") % 10).cast("string")).alias("repo"),
+        F.concat(
+            F.lit("f"),
+            F.floor(F.col("user_id") / 10).cast("long").cast("string"),
+            F.lit("/"),
+            F.col("event_type"),
+        ).alias("path"),
+        F.substring(
+            F.md5(F.concat(F.col("user_id").cast("string"), F.lit(":"), F.col("event_type"))),
+            1,
+            8,
+        ).alias("commit"),
+        F.when(F.col("event_type") == "signup", F.lit("insert"))
+        .when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("update"))
+        .alias("op"),
+        F.col("ts"),
+        F.col("value"),
+        F.col("props"),
+    )
+
+
+_FEED_CTE = """
+feed AS (
+  SELECT event_id AS seq,
+         user_id,
+         'repo-' || CAST(user_id % 10 AS VARCHAR) AS repo,
+         'f' || CAST(user_id // 10 AS VARCHAR) || '/' || event_type AS path,
+         substr(md5(CAST(user_id AS VARCHAR) || ':' || event_type), 1, 8) AS "commit",
+         CASE WHEN event_type = 'signup' THEN 'insert'
+              WHEN event_type = 'error' THEN 'delete'
+              ELSE 'update' END AS op,
+         ts, value, props
+  FROM events
+)
+"""
+
+
+def _lww(feed: DataFrame) -> DataFrame:
+    w = Window.partitionBy("repo", "path", "commit").orderBy(F.col("seq").desc())
+    return feed.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1).drop("rn")
+
+
+_LWW_CTE = """
+latest AS (
+  SELECT *, row_number() OVER (PARTITION BY repo, path, "commit" ORDER BY seq DESC) AS rn
+  FROM feed
+)
+"""
+
+# ---------------------------------------------------------------------------
+# CDC / engine queries  (SURVEY §2.2, §2.4)
+# ---------------------------------------------------------------------------
+
+
+def q_cdc_final_state(spark, sf_dir):
+    """MERGE final state after full replay: per-key LWW, deletes removed,
+    sha256(content) per row (K7 + O1; BASELINE.json invariant)."""
+    out = _lww(_feed(spark, sf_dir)).where(F.col("op") != "delete")
+    return out.select(
+        "repo",
+        "path",
+        "commit",
+        F.col("seq").alias("last_seq"),
+        F.sha2(F.col("props"), 256).alias("content_sha"),
+    )
+
+
+SQL_cdc_final_state = f"""
+WITH {_FEED_CTE}, {_LWW_CTE}
+SELECT repo, path, "commit", seq AS last_seq, sha256(props) AS content_sha
+FROM latest WHERE rn = 1 AND op <> 'delete'
+"""
+
+
+def q_cdc_lww_latest(spark, sf_dir):
+    """Per-key last-writer-wins winner incl. delete tombstones (O1)."""
+    return _lww(_feed(spark, sf_dir)).select(
+        "repo", "path", "commit", "op", F.col("seq").alias("last_seq")
+    )
+
+
+SQL_cdc_lww_latest = f"""
+WITH {_FEED_CTE}, {_LWW_CTE}
+SELECT repo, path, "commit", op, seq AS last_seq FROM latest WHERE rn = 1
+"""
+
+
+def q_cdc_dedup_redelivery(spark, sf_dir):
+    """Exact dedup under at-least-once redelivery (O2): re-deliver every
+    7th event, dedup on event id, count per op."""
+    feed = _feed(spark, sf_dir).select("seq", "op")
+    redelivered = feed.unionAll(feed.where(F.col("seq") % 7 == 0))
+    return (
+        redelivered.distinct()
+        .groupBy("op")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+SQL_cdc_dedup_redelivery = f"""
+WITH {_FEED_CTE},
+redelivered AS (
+  SELECT seq, op FROM feed
+  UNION ALL SELECT seq, op FROM feed WHERE seq % 7 = 0
+)
+SELECT op, COUNT(*) AS n_events FROM (SELECT DISTINCT seq, op FROM redelivered) GROUP BY op
+"""
+
+
+def q_cdc_op_stats(spark, sf_dir):
+    """EventStatistics rollup: tumbling 1-day window × op (O4)."""
+    return (
+        _feed(spark, sf_dir)
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("day"), F.col("op"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+SQL_cdc_op_stats = f"""
+WITH {_FEED_CTE}
+SELECT date_trunc('day', ts) AS day, op, COUNT(*) AS n, round(SUM(value), 2) AS sum_value
+FROM feed GROUP BY 1, 2
+"""
+
+
+def q_cdc_source_filter(spark, sf_dir):
+    """Source-side include/exclude pushdown filters (S9/S10):
+    op include-list, repo exclude, typed value threshold."""
+    return (
+        _feed(spark, sf_dir)
+        .where(
+            F.col("op").isin("insert", "update")
+            & (F.col("repo") != "repo-3")
+            & (F.col("value") > 100.0)
+        )
+        .select("seq", "repo", "op", "value")
+    )
+
+
+SQL_cdc_source_filter = f"""
+WITH {_FEED_CTE}
+SELECT seq, repo, op, value FROM feed
+WHERE op IN ('insert', 'update') AND repo <> 'repo-3' AND value > 100.0
+"""
+
+
+def q_cdc_field_filter_typed(spark, sf_dir):
+    """EventFilter field predicates with *typed* comparison (T2 — the
+    reference string-compares; typed is our documented divergence) plus
+    `contains` on the raw payload."""
+    f = _feed(spark, sf_dir).withColumn(
+        "k_num", F.get_json_object(F.col("props"), "$.k").cast("long")
+    )
+    return (
+        f.where((F.col("k_num") > 50) & F.col("props").contains("8"))
+        .select("seq", "repo", "k_num")
+    )
+
+
+SQL_cdc_field_filter_typed = f"""
+WITH {_FEED_CTE}
+SELECT seq, repo, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num
+FROM feed
+WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50 AND props LIKE '%8%'
+"""
+
+
+def q_transform_shift_rename(spark, sf_dir):
+    """kazaam `shift` (T3): rename/move fields — seq→id, props.k→k."""
+    return (
+        _feed(spark, sf_dir)
+        .where(F.col("op") == "insert")
+        .select(
+            F.col("seq").alias("id"),
+            F.get_json_object(F.col("props"), "$.k").alias("k"),
+        )
+    )
+
+
+SQL_transform_shift_rename = f"""
+WITH {_FEED_CTE}
+SELECT seq AS id, json_extract_string(props, '$.k') AS k FROM feed WHERE op = 'insert'
+"""
+
+
+def q_transform_default_concat(spark, sf_dir):
+    """kazaam `default` (T4) + `concat` (T5)."""
+    return _feed(spark, sf_dir).select(
+        "seq",
+        F.coalesce(
+            F.get_json_object(F.col("props"), "$.missing"), F.lit("default_v")
+        ).alias("with_default"),
+        F.concat_ws(" ", F.col("repo"), F.col("path")).alias("concat_field"),
+    )
+
+
+SQL_transform_default_concat = f"""
+WITH {_FEED_CTE}
+SELECT seq,
+       COALESCE(json_extract_string(props, '$.missing'), 'default_v') AS with_default,
+       repo || ' ' || path AS concat_field
+FROM feed
+"""
+
+
+def q_transform_timestamp_ops(spark, sf_dir):
+    """kazaam `timestamp` + computed-field enrichment year()/month()
+    (T8/T10)."""
+    return _feed(spark, sf_dir).select(
+        "seq",
+        F.year("ts").alias("y"),
+        F.month("ts").alias("m"),
+        F.date_format("ts", "yyyy-MM-dd").alias("day_str"),
+    )
+
+
+SQL_transform_timestamp_ops = f"""
+WITH {_FEED_CTE}
+SELECT seq, year(ts) AS y, month(ts) AS m, strftime(ts, '%Y-%m-%d') AS day_str FROM feed
+"""
+
+
+def q_transform_tiering(spark, sf_dir):
+    """Chained when/otherwise enrichment — the if/elif/else amount
+    tiering of multi-source-aggregation.yaml:97-106."""
+    return _feed(spark, sf_dir).select(
+        "seq",
+        F.when(F.col("value") >= 400, F.lit("high"))
+        .when(F.col("value") >= 150, F.lit("mid"))
+        .otherwise(F.lit("low"))
+        .alias("tier"),
+    )
+
+
+SQL_transform_tiering = f"""
+WITH {_FEED_CTE}
+SELECT seq, CASE WHEN value >= 400 THEN 'high' WHEN value >= 150 THEN 'mid'
+                 ELSE 'low' END AS tier
+FROM feed
+"""
+
+
+def q_lookup_join_enrich(spark, sf_dir):
+    """Lookup join (O6 — the Mongo fallback re-fetch as a broadcast
+    join): enrich the change feed with a dimension, then roll up."""
+    feed = _feed(spark, sf_dir)
+    cust = _load(spark, sf_dir, "customer")
+    return (
+        feed.join(
+            F.broadcast(cust), feed["user_id"] == cust["c_custkey"], "inner"
+        )
+        .groupBy("repo", F.col("c_mktsegment").alias("segment"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+SQL_lookup_join_enrich = f"""
+WITH {_FEED_CTE}
+SELECT repo, c_mktsegment AS segment, COUNT(*) AS n
+FROM feed JOIN customer ON feed.user_id = customer.c_custkey
+GROUP BY 1, 2
+"""
+
+
+def q_metrics_rollup(spark, sf_dir):
+    """Per-batch applied-counter rollup (O3): batch = seq % 8."""
+    return (
+        _feed(spark, sf_dir)
+        .groupBy((F.col("seq") % 8).alias("batch_id"), F.col("op"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("repo").alias("n_repos"),
+        )
+    )
+
+
+SQL_metrics_rollup = f"""
+WITH {_FEED_CTE}
+SELECT seq % 8 AS batch_id, op, COUNT(*) AS n, COUNT(DISTINCT repo) AS n_repos
+FROM feed GROUP BY 1, 2
+"""
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline ops (documents / embeddings)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact_documents(spark, sf_dir):
+    """Exact dedup by content hash (hash-groupBy)."""
+    docs = _load(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5(F.col("text")).alias("text_hash"))
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+SQL_dedup_exact_documents = """
+SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+def q_text_token_count(spark, sf_dir):
+    """Whitespace token counting + char length."""
+    docs = _load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
+        F.length("text").alias("len_chars"),
+    )
+
+
+SQL_text_token_count = r"""
+SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+       length(text) AS len_chars
+FROM documents
+"""
+
+
+def q_text_quality(spark, sf_dir):
+    """Quality scoring: stopword ('the') frequency + mean token length."""
+    docs = _load(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    n_the = (
+        (F.length("text") - F.length(F.replace(F.col("text"), F.lit("the"), F.lit(""))))
+        / 3
+    ).cast("long")
+    mean_tok = F.round(
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double")
+        / F.greatest(n_tokens, F.lit(1)),
+        4,
+    )
+    return docs.select(
+        "doc_id",
+        n_the.alias("n_stopword"),
+        mean_tok.alias("mean_token_len"),
+    )
+
+
+SQL_text_quality = r"""
+SELECT doc_id,
+       CAST((length(text) - length(replace(text, 'the', ''))) / 3 AS BIGINT) AS n_stopword,
+       round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+             / greatest(len(string_split_regex(trim(text), '\s+')), 1), 4) AS mean_token_len
+FROM documents
+"""
+
+
+def q_lang_distribution(spark, sf_dir):
+    """Language distribution rollup (lang-ID downstream aggregate)."""
+    docs = _load(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+    )
+
+
+SQL_lang_distribution = """
+SELECT lang, COUNT(*) AS n_docs, round(AVG(n_chars), 2) AS avg_chars
+FROM documents GROUP BY 1
+"""
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    """Document fingerprinting: sha256 prefix fingerprint + length."""
+    docs = _load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.sha2(F.substring(F.col("text"), 1, 64), 256).alias("prefix_fp"),
+        F.length("text").alias("n"),
+    )
+
+
+SQL_doc_fingerprint = """
+SELECT doc_id, sha256(substr(text, 1, 64)) AS prefix_fp, length(text) AS n
+FROM documents
+"""
+
+
+def q_knn_bruteforce(spark, sf_dir):
+    """Brute-force cosine top-3 neighbors for query vectors 0-4
+    (similarity-search baseline; JVM-side F.zip_with/F.aggregate)."""
+    emb = _load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("v"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    pairs = (
+        q.crossJoin(emb)
+        .where(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos", F.round(dot / (norm(F.col("qv")) * norm(F.col("v"))), 4))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cos", "rank")
+    )
+
+
+SQL_knn_bruteforce = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5
+),
+pairs AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_dot_product(q.qv, e.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(q.qv, q.qv))
+                  * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))), 4) AS cos
+  FROM q, embeddings e WHERE e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM pairs
+)
+SELECT query_id, vec_id AS neighbor_id, cos, rank FROM ranked WHERE rank <= 3
+"""
+
+# ---------------------------------------------------------------------------
+# Contract surface
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: CDC LWW final state after full replay, sha256-stamped."""
+    return q_cdc_final_state(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "cdc_final_state": q_cdc_final_state,
+        "cdc_lww_latest": q_cdc_lww_latest,
+        "cdc_dedup_redelivery": q_cdc_dedup_redelivery,
+        "cdc_op_stats": q_cdc_op_stats,
+        "cdc_source_filter": q_cdc_source_filter,
+        "cdc_field_filter_typed": q_cdc_field_filter_typed,
+        "transform_shift_rename": q_transform_shift_rename,
+        "transform_default_concat": q_transform_default_concat,
+        "transform_timestamp_ops": q_transform_timestamp_ops,
+        "transform_tiering": q_transform_tiering,
+        "lookup_join_enrich": q_lookup_join_enrich,
+        "metrics_rollup": q_metrics_rollup,
+        "dedup_exact_documents": q_dedup_exact_documents,
+        "text_token_count": q_text_token_count,
+        "text_quality": q_text_quality,
+        "lang_distribution": q_lang_distribution,
+        "doc_fingerprint": q_doc_fingerprint,
+        "knn_bruteforce": q_knn_bruteforce,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "cdc_final_state": SQL_cdc_final_state,
+        "cdc_lww_latest": SQL_cdc_lww_latest,
+        "cdc_dedup_redelivery": SQL_cdc_dedup_redelivery,
+        "cdc_op_stats": SQL_cdc_op_stats,
+        "cdc_source_filter": SQL_cdc_source_filter,
+        "cdc_field_filter_typed": SQL_cdc_field_filter_typed,
+        "transform_shift_rename": SQL_transform_shift_rename,
+        "transform_default_concat": SQL_transform_default_concat,
+        "transform_timestamp_ops": SQL_transform_timestamp_ops,
+        "transform_tiering": SQL_transform_tiering,
+        "lookup_join_enrich": SQL_lookup_join_enrich,
+        "metrics_rollup": SQL_metrics_rollup,
+        "dedup_exact_documents": SQL_dedup_exact_documents,
+        "text_token_count": SQL_text_token_count,
+        "text_quality": SQL_text_quality,
+        "lang_distribution": SQL_lang_distribution,
+        "doc_fingerprint": SQL_doc_fingerprint,
+        "knn_bruteforce": SQL_knn_bruteforce,
+    }
