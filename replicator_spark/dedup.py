@@ -36,9 +36,34 @@ def lww_latest(
 ) -> DataFrame:
     """Keep, per key, only the row with the greatest ``seq``.
 
-    ``tiebreak_col`` makes the result deterministic if two events ever
-    share a seq (should not happen for a real LSN; belt and braces).
+    Implemented as ``max_by(struct(<all other cols>), struct(seq,
+    tiebreak))`` — a hash aggregation with map-side partial combine, so
+    redelivered/superseded rows collapse *before* the shuffle. That
+    beats the window/row_number formulation (full shuffle + sort of
+    every row) by a wide margin on contended keys, which is exactly the
+    hot-repo case. ``tiebreak_col`` makes the result deterministic if
+    two events ever share a seq (should not happen for a real LSN;
+    belt and braces).
     """
+    other = [c for c in df.columns if c not in key_cols]
+    ord_cols = [F.col(seq_col)]
+    if tiebreak_col is not None and tiebreak_col in df.columns:
+        ord_cols.append(F.col(tiebreak_col))
+    agg = F.max_by(
+        F.struct(*[F.col(c) for c in other]), F.struct(*ord_cols)
+    ).alias("_top")
+    out = df.groupBy(*[F.col(c) for c in key_cols]).agg(agg)
+    return out.select(*key_cols, *[F.col(f"_top.{c}").alias(c) for c in other])
+
+
+def lww_latest_window(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    seq_col: str = "seq",
+    tiebreak_col: str | None = "event_id",
+) -> DataFrame:
+    """Window/row_number formulation of lww_latest — kept for parity
+    testing and for callers that need the full ranking."""
     order = [F.col(seq_col).desc()]
     if tiebreak_col is not None and tiebreak_col in df.columns:
         order.append(F.col(tiebreak_col).desc())

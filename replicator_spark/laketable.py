@@ -1,4 +1,4 @@
-"""Iceberg-style lake table with key-partitioned MERGE (copy-on-write).
+"""Iceberg-style lake table with key-partitioned MERGE.
 
 This is the engine's sink — the concrete implementation of everything the
 reference *declared* but never built in its v2 estuary interface:
@@ -14,29 +14,43 @@ Physical layout::
     <root>/metadata/v{N}.json, version-hint.text   (commitlog.py)
     <root>/data/v{N}/repo_bucket=K/part-*.parquet
 
-* Rows are hash-bucketed on ``repo`` into ``num_buckets`` buckets —
-  MERGE rewrites only the buckets the batch touches (partition-pruned
-  copy-on-write), so per-batch write cost is O(touched data), not
-  O(table), which is what makes 10^10-event replay feasible.
-* Each row carries engine columns ``_last_seq`` (per-key LWW high-water
-  mark) and ``_deleted`` (tombstone). Tombstones are retained so that a
-  late-arriving update with seq < a previously applied delete's seq is
-  correctly rejected even across micro-batches — without them, LWW under
-  out-of-order delivery silently resurrects deleted keys. ``read()``
-  filters tombstones unless asked not to.
-* MERGE semantics (one full-outer join on the key):
-  source wins iff ``s.seq > t._last_seq`` (or no target row);
-  winning delete → tombstone; winning insert/update/replace → source
-  image; stale source row → skipped (counted).
-* Additive schema evolution: payload columns present in the batch but
-  not in the table widen the logical schema; pre-existing rows read the
-  new columns as null (the MODIFY/DROP paths the reference declared are
-  intentionally out of scope, matching its "no schema change
-  replication" stance — ``README.md:48``).
+Rows are hash-bucketed on ``repo`` into ``num_buckets`` buckets. Each
+row carries engine columns ``_last_seq`` (per-key LWW high-water mark)
+and ``_deleted`` (tombstone). Tombstones are retained so that a
+late-arriving update with seq < a previously applied delete's seq is
+correctly rejected even across micro-batches — without them, LWW under
+out-of-order delivery silently resurrects deleted keys. ``read()``
+filters tombstones unless asked not to.
+
+Two MERGE strategies (mirroring Iceberg v2's copy-on-write vs
+merge-on-read — the decisive design choice for CDC at 10^10 events):
+
+* **copy-on-write** (``mode='cow'``): one full-outer join of the batch
+  against the touched buckets, rewrite those buckets. Read-optimal
+  (base files only), but write cost is O(touched data) per batch — with
+  uniformly keyed batches every batch rewrites the whole table.
+* **merge-on-read** (``mode='mor'``, the high-throughput path): the
+  LWW-deduped batch is appended as *delta* files per bucket (equality-
+  delete semantics: a delta row supersedes any older image of its key;
+  a delete delta is a tombstone). Write cost is O(batch). ``read()``
+  resolves base ∪ deltas with a per-key max-``_last_seq`` aggregation;
+  ``compact()`` folds deltas back into base files when a bucket's delta
+  count crosses a threshold, bounding read amplification. Apply
+  throughput becomes independent of table size — this is what survives
+  a 100× scale-up.
+
+Both modes commit through the same atomic snapshot log and the same
+batch-key idempotence ledger; both support additive schema evolution
+(new payload columns widen the snapshot schema; older files read nulls).
+
+Additive evolution only — MODIFY/DROP stay out of scope, matching the
+reference's "no schema change replication" stance (``README.md:48``).
 """
 
 from __future__ import annotations
 
+import json
+import os
 from collections.abc import Sequence
 from dataclasses import dataclass
 
@@ -45,6 +59,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from . import commitlog as cl
+from .dedup import lww_latest
 from .model import BUCKET_COL, KEY_COLS, LAST_SEQ_COL, OP_DELETE
 
 ENGINE_COLS = [LAST_SEQ_COL, "_deleted"]
@@ -55,11 +70,12 @@ class MergeStats:
     batch_key: str
     version: int | None  # committed snapshot version (None if skipped replay)
     applied: int = 0
-    skipped_stale: int = 0
+    skipped_stale: int = 0  # cow: exact; mor: resolved lazily at compaction
     deduped: int = 0
     deleted: int = 0
     schema_evolved: int = 0
     touched_buckets: int = 0
+    mode: str = "cow"
     replayed: bool = False  # batch_key already committed → no-op
 
 
@@ -68,11 +84,10 @@ def bucket_expr(num_buckets: int, repo_col: str = "repo") -> F.Column:
 
 
 class LakeTable:
-    """Narrow table API: create / read / merge / schema / time-travel.
-
-    Kept deliberately small so a real Iceberg catalog can be swapped in
-    where the runtime jar exists — the pipeline only uses this surface.
-    """
+    """Narrow table API: create / read / merge / compact / schema /
+    time-travel. Kept deliberately small so a real Iceberg catalog can
+    be swapped in where the runtime jar exists — the pipeline only uses
+    this surface."""
 
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
@@ -96,8 +111,7 @@ class LakeTable:
         return cl.current_version(self.root) is not None
 
     def schema(self, version: int | None = None) -> T.StructType:
-        snap = self._snap(version)
-        return T.StructType.fromJson(__import__("json").loads(snap.schema_json))
+        return T.StructType.fromJson(json.loads(self._snap(version).schema_json))
 
     def _snap(self, version: int | None = None) -> cl.Snapshot:
         snap = cl.load_snapshot(self.root, version)
@@ -110,11 +124,28 @@ class LakeTable:
 
     # -- read ----------------------------------------------------------
     def _physical_schema(self, snap: cl.Snapshot) -> T.StructType:
-        logical = T.StructType.fromJson(__import__("json").loads(snap.schema_json))
-        fields = list(logical.fields)
-        fields.append(T.StructField(LAST_SEQ_COL, T.LongType(), True))
-        fields.append(T.StructField("_deleted", T.BooleanType(), True))
-        return T.StructType(fields)
+        logical = T.StructType.fromJson(json.loads(snap.schema_json))
+        return T.StructType(
+            list(logical.fields)
+            + [
+                T.StructField(LAST_SEQ_COL, T.LongType(), True),
+                T.StructField("_deleted", T.BooleanType(), True),
+            ]
+        )
+
+    @staticmethod
+    def _deltas(snap: cl.Snapshot) -> dict[str, list[str]]:
+        return snap.props.get("deltas", {}) if snap.props else {}
+
+    def _read_files(
+        self, snap: cl.Snapshot, files: list[str]
+    ) -> DataFrame:
+        phys = self._physical_schema(snap)
+        if not files:
+            return self.spark.createDataFrame([], phys)
+        # Explicit schema: files written before a schema evolution lack
+        # the new columns — the parquet reader fills them with null.
+        return self.spark.read.schema(phys).parquet(*files)
 
     def read(
         self,
@@ -125,19 +156,20 @@ class LakeTable:
     ) -> DataFrame:
         """Read a snapshot (time travel via ``version``), optionally
         pruned to a bucket list — the file-level partition pruning that
-        MERGE relies on."""
+        MERGE relies on. Resolves merge-on-read deltas when present."""
         snap = self._snap(version)
-        phys = self._physical_schema(snap)
-        if buckets is None:
-            files = [f for fs in snap.files.values() for f in fs]
-        else:
-            files = [f for b in buckets for f in snap.files.get(str(b), [])]
-        if not files:
-            df = self.spark.createDataFrame([], phys)
-        else:
-            # Explicit schema: old files may predate evolved columns —
-            # parquet reader fills missing columns with null.
-            df = self.spark.read.schema(phys).parquet(*files)
+        deltas = self._deltas(snap)
+        bucket_ids = (
+            list(snap.files.keys() | deltas.keys())
+            if buckets is None
+            else [str(b) for b in buckets]
+        )
+        base_files = [f for b in bucket_ids for f in snap.files.get(b, [])]
+        delta_files = [f for b in bucket_ids for f in deltas.get(b, [])]
+        df = self._read_files(snap, base_files + delta_files)
+        if delta_files:
+            # per-key LWW resolution across base + deltas (mor read path)
+            df = lww_latest(df, KEY_COLS, LAST_SEQ_COL, tiebreak_col=None)
         if not include_deleted:
             df = df.where(~F.coalesce(F.col("_deleted"), F.lit(False)))
         if not include_engine_cols:
@@ -150,21 +182,26 @@ class LakeTable:
         batch: DataFrame,
         batch_key: str,
         *,
+        mode: str = "cow",
         key_cols: Sequence[str] = tuple(KEY_COLS),
         seq_col: str = "seq",
         op_col: str = "op",
         files_per_bucket: int = 1,
+        compact_after_deltas: int = 8,
         props: dict | None = None,
     ) -> MergeStats:
         """Apply one micro-batch as MERGE INTO. Idempotent on batch_key.
 
         ``batch`` columns: key cols + payload cols + seq + op, already
-        LWW-deduped to ONE row per key (pipeline.prepare_batch does
-        that; enforced here only by assertion-free contract for speed).
+        LWW-deduped to ONE row per key (pipeline.apply_batch does that).
+        ``mode='mor'`` appends deltas and auto-compacts buckets whose
+        delta chain exceeds ``compact_after_deltas``.
         """
         snap = self._snap()
         if batch_key in snap.committed_batches:
-            return MergeStats(batch_key, snap.committed_batches[batch_key], replayed=True)
+            return MergeStats(
+                batch_key, snap.committed_batches[batch_key], replayed=True, mode=mode
+            )
 
         key_cols = list(key_cols)
         logical = self.schema()
@@ -175,11 +212,8 @@ class LakeTable:
 
         # additive schema evolution: new payload columns widen the table
         new_cols = [c for c in batch_payload if c not in payload_in_table]
-        new_fields = []
-        if new_cols:
-            bschema = {f.name: f for f in batch.schema.fields}
-            for c in new_cols:
-                new_fields.append(T.StructField(c, bschema[c].dataType, True))
+        bschema = {f.name: f for f in batch.schema.fields}
+        new_fields = [T.StructField(c, bschema[c].dataType, True) for c in new_cols]
         evolved_schema = T.StructType(list(logical.fields) + new_fields)
         all_payload = payload_in_table + new_cols
 
@@ -192,15 +226,60 @@ class LakeTable:
                 dt = next(f.dataType for f in logical.fields if f.name == c)
                 src = src.withColumn(c, F.lit(None).cast(dt))
 
-        touched = [r[0] for r in src.select(BUCKET_COL).distinct().collect()]
+        if mode == "mor":
+            # No pre-write bucket discovery needed: the partitioned delta
+            # write itself reveals which buckets were touched — one Spark
+            # job per micro-batch, total.
+            stats, files, deltas, touched = self._merge_mor(
+                snap, src, batch_key, all_payload,
+                key_cols, seq_col, op_col, files_per_bucket,
+            )
+        else:
+            # Persist: src feeds touched-bucket discovery AND the merge
+            # join — without it the normalize+LWW pipeline executes twice.
+            src = src.persist()
+            try:
+                touched = [r[0] for r in src.select(BUCKET_COL).distinct().collect()]
+                stats, files, deltas = self._merge_cow(
+                    snap, src, batch_key, touched, all_payload, new_fields,
+                    key_cols, seq_col, op_col, files_per_bucket,
+                )
+            finally:
+                src.unpersist()
+
+        committed = dict(snap.committed_batches)
+        new_version = snap.version + 1
+        committed[batch_key] = new_version
+        nsnap = cl.Snapshot(
+            version=new_version,
+            parent=snap.version,
+            schema_json=evolved_schema.json(),
+            num_buckets=nb,
+            files=files,
+            committed_batches=committed,
+            props={**(props or {}), "batch_key": batch_key, "deltas": deltas},
+        )
+        cl.commit_snapshot(self.root, nsnap)
+        stats.version = new_version
+        stats.schema_evolved = len(new_cols)
+        stats.touched_buckets = len(touched)
+        if mode == "mor":
+            max_chain = max((len(v) for v in deltas.values()), default=0)
+            if max_chain >= compact_after_deltas:
+                self.compact()
+        return stats
+
+    def _merge_cow(
+        self, snap, src, batch_key, touched, all_payload, new_fields,
+        key_cols, seq_col, op_col, files_per_bucket,
+    ):
         tgt = self.read(
             buckets=touched, include_deleted=True, include_engine_cols=True
         )
         for f_ in new_fields:
             tgt = tgt.withColumn(f_.name, F.lit(None).cast(f_.dataType))
 
-        s = src.alias("s")
-        t = tgt.alias("t")
+        s, t = src.alias("s"), tgt.alias("t")
         cond = [F.col(f"s.{k}") == F.col(f"t.{k}") for k in key_cols]
         j = t.join(s, cond, "full_outer")
 
@@ -218,9 +297,7 @@ class LakeTable:
             F.sum(F.when(is_src & ~win, 1).otherwise(0)).alias("skipped_stale"),
             F.sum(F.when(win & src_del, 1).otherwise(0)).alias("deleted"),
         )
-        proj = [
-            F.coalesce(F.col(f"s.{k}"), F.col(f"t.{k}")).alias(k) for k in key_cols
-        ]
+        proj = [F.coalesce(F.col(f"s.{k}"), F.col(f"t.{k}")).alias(k) for k in key_cols]
         proj += [
             F.when(win, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
             for c in all_payload
@@ -232,56 +309,149 @@ class LakeTable:
             F.when(win, src_del)
             .otherwise(F.coalesce(F.col("t._deleted"), F.lit(False)))
             .alias("_deleted"),
-            F.coalesce(F.col(f"s.{BUCKET_COL}"), bucket_expr(nb, f"t.repo")).alias(
+            F.coalesce(F.col(f"s.{BUCKET_COL}"), bucket_expr(snap.num_buckets, "t.repo")).alias(
                 BUCKET_COL
             ),
         ]
         result = j.select(*proj)
 
-        # copy-on-write: rewrite touched buckets into a fresh versioned dir
         new_version = snap.version + 1
         out_dir = f"{self.root}/data/v{new_version}"
+        self._write_buckets(result, out_dir, touched, key_cols, files_per_bucket)
+        m = obs.get
+
+        files = dict(snap.files)
+        deltas = dict(self._deltas(snap))
+        new_files = self._list_bucket_files(out_dir)
+        for b in touched:
+            files[str(b)] = new_files.get(str(b), [])
+            deltas.pop(str(b), None)  # cow rewrite folds deltas in
+        stats = MergeStats(
+            batch_key,
+            None,
+            applied=int(m["applied"] or 0),
+            skipped_stale=int(m["skipped_stale"] or 0),
+            deleted=int(m["deleted"] or 0),
+            mode="cow",
+        )
+        return stats, files, deltas
+
+    def _merge_mor(
+        self, snap, src, batch_key, all_payload,
+        key_cols, seq_col, op_col, files_per_bucket,
+    ):
+        obs = Observation(f"merge-{batch_key}")
+        delta = src.select(
+            *key_cols,
+            *all_payload,
+            F.col(seq_col).alias(LAST_SEQ_COL),
+            (F.col(op_col) == OP_DELETE).alias("_deleted"),
+            F.col(BUCKET_COL),
+        ).observe(
+            obs,
+            F.count(F.lit(1)).alias("applied"),
+            F.sum(F.when(F.col("_deleted"), 1).otherwise(0)).alias("deleted"),
+        )
+        new_version = snap.version + 1
+        out_dir = f"{self.root}/data/v{new_version}"
+        self._write_buckets(
+            delta, out_dir, range(snap.num_buckets), key_cols, files_per_bucket
+        )
+        m = obs.get
+
+        files = dict(snap.files)
+        deltas = {b: list(v) for b, v in self._deltas(snap).items()}
+        new_files = self._list_bucket_files(out_dir)
+        for b, fs in new_files.items():
+            deltas.setdefault(b, []).extend(fs)
+        stats = MergeStats(
+            batch_key,
+            None,
+            applied=int(m["applied"] or 0),
+            deleted=int(m["deleted"] or 0),
+            mode="mor",
+        )
+        return stats, files, deltas, sorted(int(b) for b in new_files)
+
+    # -- compaction ----------------------------------------------------
+    def compact(
+        self,
+        buckets: Sequence[int] | None = None,
+        *,
+        files_per_bucket: int = 1,
+        expire_tombstones_below_seq: int | None = None,
+    ) -> int:
+        """Fold merge-on-read delta chains back into base files.
+
+        Resolves per-key LWW across base ∪ deltas and rewrites the
+        affected buckets — the maintenance half of the mor tradeoff,
+        run out of the hot apply path. ``expire_tombstones_below_seq``
+        optionally drops tombstones older than a watermark the feed is
+        guaranteed to have passed (bounding tombstone growth; unsafe to
+        set below the source's max-reordering window). Returns the new
+        snapshot version, or the current one if nothing to compact."""
+        snap = self._snap()
+        deltas = self._deltas(snap)
+        todo = (
+            [b for b in deltas if deltas[b]]
+            if buckets is None
+            else [str(b) for b in buckets if deltas.get(str(b))]
+        )
+        if not todo:
+            return snap.version
+        resolved = self.read(
+            buckets=[int(b) for b in todo],
+            include_deleted=True,
+            include_engine_cols=True,
+        ).withColumn(BUCKET_COL, bucket_expr(snap.num_buckets))
+        if expire_tombstones_below_seq is not None:
+            resolved = resolved.where(
+                ~F.col("_deleted")
+                | (F.col(LAST_SEQ_COL) >= F.lit(expire_tombstones_below_seq))
+            )
+        new_version = snap.version + 1
+        out_dir = f"{self.root}/data/v{new_version}"
+        self._write_buckets(
+            resolved, out_dir, [int(b) for b in todo], KEY_COLS, files_per_bucket
+        )
+        files = dict(snap.files)
+        new_deltas = {b: list(v) for b, v in deltas.items()}
+        new_files = self._list_bucket_files(out_dir)
+        for b in todo:
+            files[b] = new_files.get(b, [])
+            new_deltas.pop(b, None)
+        nsnap = cl.Snapshot(
+            version=new_version,
+            parent=snap.version,
+            schema_json=snap.schema_json,
+            num_buckets=snap.num_buckets,
+            files=files,
+            committed_batches=dict(snap.committed_batches),
+            props={"compaction": True, "deltas": new_deltas},
+        )
+        cl.commit_snapshot(self.root, nsnap)
+        return new_version
+
+    # -- physical write ------------------------------------------------
+    def _write_buckets(
+        self, df: DataFrame, out_dir: str, touched, key_cols, files_per_bucket: int
+    ) -> None:
+        """One shuffle to the target file layout: hash-distribute by
+        (bucket, key-salt) so each bucket lands in ``files_per_bucket``
+        files, sorted by key within files for read locality."""
         nparts = max(len(touched) * files_per_bucket, 1)
-        salt = F.pmod(F.xxhash64(*[F.col(k) for k in key_cols]), F.lit(files_per_bucket))
+        salt = F.pmod(
+            F.xxhash64(*[F.col(k) for k in key_cols]), F.lit(files_per_bucket)
+        )
         (
-            result.repartition(nparts, F.col(BUCKET_COL), salt)
+            df.repartition(nparts, F.col(BUCKET_COL), salt)
             .sortWithinPartitions(*key_cols)
             .write.mode("overwrite")
             .partitionBy(BUCKET_COL)
             .parquet(out_dir)
         )
-        m = obs.get
-
-        # stitch new snapshot: touched buckets → new files, rest carried
-        files = dict(snap.files)
-        new_files = self._list_bucket_files(out_dir)
-        for b in touched:
-            files[str(b)] = new_files.get(str(b), [])
-        committed = dict(snap.committed_batches)
-        committed[batch_key] = new_version
-        nsnap = cl.Snapshot(
-            version=new_version,
-            parent=snap.version,
-            schema_json=evolved_schema.json(),
-            num_buckets=nb,
-            files=files,
-            committed_batches=committed,
-            props={**(props or {}), "batch_key": batch_key},
-        )
-        cl.commit_snapshot(self.root, nsnap)
-        return MergeStats(
-            batch_key,
-            new_version,
-            applied=int(m["applied"] or 0),
-            skipped_stale=int(m["skipped_stale"] or 0),
-            deleted=int(m["deleted"] or 0),
-            schema_evolved=len(new_cols),
-            touched_buckets=len(touched),
-        )
 
     def _list_bucket_files(self, out_dir: str) -> dict[str, list[str]]:
-        import os
-
         out: dict[str, list[str]] = {}
         for entry in os.listdir(out_dir):
             if not entry.startswith(f"{BUCKET_COL}="):
@@ -289,8 +459,6 @@ class LakeTable:
             b = entry.split("=", 1)[1]
             d = os.path.join(out_dir, entry)
             out[b] = sorted(
-                os.path.join(d, f)
-                for f in os.listdir(d)
-                if f.endswith(".parquet")
+                os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
             )
         return out

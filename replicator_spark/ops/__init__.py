@@ -1,0 +1,24 @@
+"""Large-scale training-data pipeline operators (beyond the reference's
+own surface): deduplication (exact, MinHash+LSH, SimHash, n-gram
+Jaccard, embedding-cosine), similarity search (brute-force + LSH-
+bucketed ANN), text analysis (lang-ID, quality, tokens, fingerprints),
+and multimodal column plumbing."""
+
+from .dedup_text import (  # noqa: F401
+    exact_dedup,
+    minhash_signatures,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash64,
+    simhash_near_dups,
+)
+from .similarity import (  # noqa: F401
+    brute_force_knn,
+    lsh_bucket_knn,
+)
+from .text import (  # noqa: F401
+    detect_lang,
+    doc_fingerprints,
+    quality_features,
+    token_stats,
+)

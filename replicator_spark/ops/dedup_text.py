@@ -1,0 +1,239 @@
+"""Text deduplication operators, Spark-first.
+
+All of these stay in the JVM (higher-order array functions + hash
+builtins) — no Python in the hot path. Shapes:
+
+* exact_dedup        — hash-groupBy, keep canonical doc per hash
+* minhash_signatures — shingle → k independent min-hashes (permutation
+                       hashing via xxhash64 with per-band seeds)
+* minhash_lsh        — band signatures → bucket join → candidate pairs
+* simhash64          — 64-bit simhash over token hashes
+* ngram_jaccard      — exact Jaccard on shingle sets for candidate
+                       pairs (verification stage after LSH)
+
+Scale notes: LSH candidate generation is a self-equi-join on
+(band_id, band_hash) — Catalyst plans it as a shuffled hash join keyed
+on the bucket, which is the standard web-scale minhash dedup layout
+(one shuffle, no cross join). The final exact-Jaccard verify runs only
+on candidates. Skewed buckets (boilerplate-heavy corpora) are handled
+by dropping buckets larger than ``max_bucket`` — the conventional
+guard, since a bucket of size B contributes B² pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def shingle_expr(col_name: str, n: int = 5):
+    """array of distinct character n-grams of a string column."""
+    c = F.col(col_name)
+    idx = F.sequence(F.lit(1), F.greatest(F.length(c) - (n - 1), F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: c.substr(i, F.lit(n))))
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one canonical row per exact content hash."""
+    return (
+        df.withColumn("_h", F.sha2(F.col(text_col), 256))
+        .groupBy("_h")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    shingle_n: int = 5,
+    num_hashes: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """id → array<long> of ``num_hashes`` min-hash values.
+
+    Permutation hashing: h_i(s) = xxhash64(s, seed+i); the signature
+    element i is min over shingles — all computed with one
+    transform/array_min chain per hash, fully vectorized.
+    """
+    sh = shingle_expr(text_col, shingle_n).alias("_sh")
+    base = df.select(F.col(id_col), sh)
+
+    def _minhash(i: int):
+        # NB: close over the seed column; an extra lambda param (even
+        # defaulted) changes F.transform's arity dispatch — a 2-arg
+        # lambda receives the ARRAY INDEX as its second argument.
+        seed_col = F.lit(seed + i)
+        return F.array_min(
+            F.transform(F.col("_sh"), lambda s: F.xxhash64(s, seed_col))
+        )
+
+    sig = F.array(*[_minhash(i) for i in range(num_hashes)])
+    return base.select(id_col, sig.alias("signature"))
+
+
+def minhash_lsh_candidates(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    *,
+    bands: int = 16,
+    max_bucket: int = 50,
+) -> DataFrame:
+    """Band the signatures, bucket-join, emit candidate pairs (a < b).
+
+    rows per band = num_hashes / bands. Buckets larger than
+    ``max_bucket`` are dropped (quadratic blowup guard).
+    """
+    banded = sigs.select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice(
+                                F.col("signature"),
+                                b * (F.size(F.col("signature")) / bands).cast("int") + 1,
+                                (F.size(F.col("signature")) / bands).cast("int"),
+                            ),
+                            lambda x: x.cast("string"),
+                        ),
+                    )
+                ),
+            )
+        ).alias("band_id", "band_hash"),
+    )
+    # prune oversized buckets before the self-join
+    sized = banded.groupBy("band_id", "band_hash").agg(
+        F.collect_list(id_col).alias("ids"), F.count(F.lit(1)).alias("n")
+    )
+    ok = sized.where((F.col("n") >= 2) & (F.col("n") <= max_bucket))
+    pairs = ok.select(
+        F.explode(
+            F.filter(
+                F.flatten(
+                    F.transform(
+                        F.col("ids"),
+                        lambda a: F.transform(
+                            F.col("ids"), lambda b: F.struct(a.alias("a"), b.alias("b"))
+                        ),
+                    )
+                ),
+                lambda p: p["a"] < p["b"],
+            )
+        ).alias("pair")
+    )
+    return pairs.select(
+        F.col("pair.a").alias("id_a"), F.col("pair.b").alias("id_b")
+    ).distinct()
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    candidates: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    shingle_n: int = 5,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard verification of candidate pairs."""
+    sh = df.select(
+        F.col(id_col).alias("_id"), shingle_expr(text_col, shingle_n).alias("_sh")
+    )
+    j = (
+        candidates.join(sh.withColumnRenamed("_id", "id_a").withColumnRenamed("_sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("_id", "id_b").withColumnRenamed("_sh", "sh_b"), "id_b")
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+    return (
+        j.withColumn("jaccard", F.round(inter / union, 4))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash64(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", seed: int = 42
+) -> DataFrame:
+    """64-bit SimHash over whitespace tokens.
+
+    Per bit b: sum over tokens of (+1 if bit set else -1); the sign
+    vector packs into one long. Expressed as 64 aggregate sums over the
+    token-hash array — heavy but branch-free and JVM-side; for very
+    long docs swap in the Arrow-UDF variant.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    th = F.transform(toks, lambda t: F.xxhash64(t, F.lit(seed)))
+
+    def _bit_sum(b: int):
+        # bit 63: 1<<63 overflows signed long — use its two's-complement
+        mask = F.lit((1 << b) if b < 63 else -(1 << 63))
+        return F.aggregate(
+            th,
+            F.lit(0),
+            lambda acc, h: acc + F.when(h.bitwiseAND(mask) != 0, 1).otherwise(-1),
+        )
+
+    bit_sums = [_bit_sum(b) for b in range(64)]
+    packed = None
+    for b, s in enumerate(bit_sums):
+        bit = F.when(s > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, b)
+        packed = term if packed is None else packed.bitwiseOR(term)
+    return df.select(F.col(id_col), packed.alias("simhash"))
+
+
+def simhash_near_dups(
+    hashes: DataFrame, id_col: str = "doc_id", *, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by simhash: chunked blocking + hamming verify.
+
+    The hash is split into ``max_hamming + 1`` bit chunks (capped at
+    16); by pigeonhole, two hashes within ``max_hamming`` bits must
+    agree on at least one whole chunk, so blocking on (chunk_idx,
+    chunk_value) is a *lossless* candidate generator — the standard
+    web-scale simhash dedup layout (one equi-join per corpus, no cross
+    join)."""
+    n_chunks = min(max_hamming + 1, 16)
+    width = 64 // n_chunks
+
+    def _chunk(i: int):
+        return F.shiftrightunsigned(F.col("simhash"), i * width).bitwiseAND(
+            F.lit((1 << width) - 1)
+        )
+
+    blocked = hashes.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.posexplode(F.array(*[_chunk(i) for i in range(n_chunks)])).alias(
+            "chunk_idx", "chunk_val"
+        ),
+    )
+    a = blocked.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("h_a"),
+        "chunk_idx", "chunk_val",
+    )
+    b = blocked.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("h_b"),
+        "chunk_idx", "chunk_val",
+    )
+    pairs = (
+        a.join(b, ["chunk_idx", "chunk_val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "h_a", "h_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return (
+        pairs.withColumn("hamming", hamming)
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,100 @@
+"""Text analysis operators: language-ID heuristic, quality features,
+token statistics, document fingerprinting. All JVM-side Column
+expressions (regex/length/split/hash builtins)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language marker lexicons for the n-gram/stopword heuristic;
+# real lang-ID (fasttext etc.) would ride a pandas UDF — this stays JVM
+_LANG_MARKERS = {
+    "en": ["the", "and", "of"],
+    "de": ["der", "und", "die"],
+    "fr": ["le", "et", "les"],
+    "es": ["el", "y", "los"],
+    "zh": ["的", "是", "了"],
+}
+
+
+def _count_occurrences(col, needle: str):
+    return (F.length(col) - F.length(F.replace(col, F.lit(needle), F.lit("")))) / len(
+        needle
+    )
+
+
+def detect_lang(
+    df: DataFrame, text_col: str = "text", out_col: str = "lang_pred"
+) -> DataFrame:
+    """Marker-frequency language ID: score each language by marker-word
+    hits (normalized by text length), take the argmax."""
+    padded = F.concat(F.lit(" "), F.col(text_col), F.lit(" "))
+    scores = []
+    for lang, markers in _LANG_MARKERS.items():
+        s = None
+        for m in markers:
+            cnt = _count_occurrences(padded, f" {m} ")
+            s = cnt if s is None else s + cnt
+        scores.append(F.struct(s.cast("double").alias("score"), F.lit(lang).alias("lang")))
+    best = F.array_max(F.array(*scores))
+    return df.withColumn(out_col, best.getField("lang")).withColumn(
+        f"{out_col}_score", best.getField("score")
+    )
+
+
+def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Whitespace tokens + a BPE-ish subword estimate (split on
+    non-alphanumerics and 4-char chunks)."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_tokens = F.size(toks)
+    n_chars = F.length(F.col(text_col))
+    # crude BPE-token estimate: ~1 token per 4 chars of word content
+    word_chars = F.length(F.regexp_replace(F.col(text_col), r"\s+", ""))
+    bpe_est = F.ceil(word_chars / 4).cast("long")
+    return df.select(
+        id_col,
+        n_tokens.alias("n_tokens"),
+        n_chars.alias("n_chars_measured"),
+        bpe_est.alias("bpe_tokens_est"),
+        F.round(word_chars / F.greatest(n_tokens, F.lit(1)), 4).alias("mean_token_len"),
+    )
+
+
+def quality_features(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Heuristic quality signals: length, punctuation ratio, stopword
+    ratio, uppercase ratio, repetition (distinct-token ratio)."""
+    t = F.col(text_col)
+    toks = F.split(F.trim(t), r"\s+")
+    n_tokens = F.greatest(F.size(toks), F.lit(1))
+    n_chars = F.greatest(F.length(t), F.lit(1))
+    punct = F.length(F.regexp_replace(t, r"[^.,;:!?]", ""))
+    upper = F.length(F.regexp_replace(t, r"[^A-Z]", ""))
+    stop = F.size(F.filter(toks, lambda x: x.isin("the", "a", "and", "of", "to")))
+    distinct_ratio = F.size(F.array_distinct(toks)) / n_tokens
+    return df.select(
+        id_col,
+        F.length(t).alias("len"),
+        F.round(punct / n_chars, 4).alias("punct_ratio"),
+        F.round(upper / n_chars, 4).alias("upper_ratio"),
+        F.round(stop / n_tokens, 4).alias("stopword_ratio"),
+        F.round(distinct_ratio, 4).alias("distinct_token_ratio"),
+    )
+
+
+def doc_fingerprints(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", *, window: int = 8
+) -> DataFrame:
+    """Winnowing-style fingerprint: min rolling-window hash over
+    character ``window``-grams + whole-doc sha256."""
+    c = F.col(text_col)
+    idx = F.sequence(F.lit(1), F.greatest(F.length(c) - (window - 1), F.lit(1)))
+    gram_hashes = F.transform(idx, lambda i: F.xxhash64(c.substr(i, F.lit(window))))
+    return df.select(
+        id_col,
+        F.sha2(c, 256).alias("content_sha"),
+        F.array_min(gram_hashes).alias("min_gram_hash"),
+        F.array_max(gram_hashes).alias("max_gram_hash"),
+    )

@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from . import metrics as M
-from .dedup import dedup_exact, lww_latest
+from .dedup import lww_latest
 from .laketable import LakeTable, MergeStats
 from .model import KEY_COLS
 
@@ -97,10 +97,19 @@ def apply_batch(
     batch_key: str,
     payload_schema: T.StructType | None = None,
     *,
+    mode: str = "cow",
+    transform_engine=None,
     files_per_bucket: int = 1,
+    compact_after_deltas: int = 8,
     write_metrics: bool = True,
 ) -> BatchResult:
-    """Normalize + exact-dedup + LWW + MERGE one micro-batch, idempotently.
+    """Normalize + transform + LWW dedup + MERGE one micro-batch,
+    idempotently.
+
+    ``transform_engine`` (transform.TransformEngine) runs between
+    normalize and dedup with event_id/seq/op/key columns protected
+    (critical-field preservation, service.go:493-501); its dead-letter
+    rows land in ``<table_root>/_dead_letter`` parquet.
 
     All counters ride the single MERGE action via Observations — no
     extra passes over the batch.
@@ -109,25 +118,42 @@ def apply_batch(
     if payload_schema is None:
         payload_schema = infer_payload_schema(raw_batch)
     flat = normalize(raw_batch, payload_schema)
+    if transform_engine is not None:
+        flat, dead = transform_engine.apply(flat)
+        if dead is not None:
+            dead.write.mode("append").parquet(f"{table.root}/_dead_letter")
 
     obs_in = Observation(f"in-{batch_key}")
-    flat = flat.observe(obs_in, F.count(F.lit(1)).alias("received"))
-    prepared = lww_latest(dedup_exact(flat), KEY_COLS, "seq")
+    flat = flat.observe(
+        obs_in,
+        F.count(F.lit(1)).alias("received"),
+        F.min("seq").alias("seq_lo"),
+        F.max("seq").alias("seq_hi"),
+    )
+    # No separate event-id dedup pass: redelivered duplicates carry an
+    # identical (key, seq), so the per-key LWW window already collapses
+    # them (tiebreak on event_id keeps it deterministic) — one shuffle
+    # instead of two. dedup.dedup_exact remains for standalone use.
+    prepared = lww_latest(flat, KEY_COLS, "seq")
 
     stats = table.merge(
-        prepared, batch_key, files_per_bucket=files_per_bucket
+        prepared,
+        batch_key,
+        mode=mode,
+        files_per_bucket=files_per_bucket,
+        compact_after_deltas=compact_after_deltas,
     )
     wall_ms = int((time.time() - t0) * 1000)
     if stats.replayed:
         return BatchResult(stats, 0, 0, wall_ms)
 
-    received = int(obs_in.get["received"] or 0)
+    m_in = obs_in.get
+    received = int(m_in["received"] or 0)
+    # rows removed before apply: redelivery duplicates + intra-batch
+    # LWW-superseded images
     deduped = received - (stats.applied + stats.skipped_stale)
     res = BatchResult(stats, received, deduped, wall_ms)
     if write_metrics:
-        seq_rng = raw_batch.agg(
-            F.min("seq").alias("lo"), F.max("seq").alias("hi")
-        ).first()
         M.append_metrics(
             table.root,
             {
@@ -149,8 +175,8 @@ def apply_batch(
             {
                 "batch_key": batch_key,
                 "snapshot_version": stats.version,
-                "seq_min": int(seq_rng["lo"]) if seq_rng["lo"] is not None else None,
-                "seq_max": int(seq_rng["hi"]) if seq_rng["hi"] is not None else None,
+                "seq_min": int(m_in["seq_lo"]) if m_in["seq_lo"] is not None else None,
+                "seq_max": int(m_in["seq_hi"]) if m_in["seq_hi"] is not None else None,
                 "n_files_written": sum(len(v) for v in snap_files.values()),
                 "buckets": sorted(int(b) for b in snap_files),
             },
@@ -165,7 +191,9 @@ def replay_feed(
     *,
     payload_schema: T.StructType | None = None,
     batches: list[int] | None = None,
+    mode: str = "cow",
     files_per_bucket: int = 1,
+    compact_after_deltas: int = 8,
     write_metrics: bool = True,
 ) -> list[BatchResult]:
     """Batch-mode replay of a partitioned feed directory, one MERGE per
@@ -188,7 +216,9 @@ def replay_feed(
                 bdf,
                 batch_key=f"feed-{b}",
                 payload_schema=payload_schema,
+                mode=mode,
                 files_per_bucket=files_per_bucket,
+                compact_after_deltas=compact_after_deltas,
                 write_metrics=write_metrics,
             )
         )

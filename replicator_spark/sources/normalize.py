@@ -1,0 +1,158 @@
+"""Per-source event normalization → canonical change record columns.
+
+Each function takes a DataFrame of raw source events and returns rows
+shaped like model.CHANGE_SCHEMA's core (seq/op/db/tbl/doc[/key]), all
+with native Column expressions (from_json/projections) — the decode
+work the reference does struct-by-struct in Go:
+
+* MySQL rows arrive as *positional JSON arrays with no column names*
+  (``pkg/streams/mysql_stream.go:401-415``).
+* PostgreSQL tuples arrive as text maps ``{col_0: ..., col_1: ...}``
+  with synthetic ``relation_%d`` table names
+  (``pkg/streams/postgresql_stream.go:506-531``).
+* Kafka messages are JSON with optional ``action``/``schema``/
+  ``collection`` keys, defaulting to insert / config db / topic
+  (``pkg/streams/kafka_stream.go:382-414``).
+* Mongo change-stream events carry operationType/ns/documentKey/
+  fullDocument, with a fallback re-fetch when fullDocument is missing
+  (``pkg/streams/mongodb_stream.go:402-581``) — expressed here as a
+  left lookup join against current table state instead of a per-event
+  FindOne.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def from_mysql_rows(
+    df: DataFrame,
+    columns: Sequence[str],
+    *,
+    row_col: str = "row_json",
+    op_col: str = "op",
+) -> DataFrame:
+    """Positional JSON array row → named payload doc.
+
+    ``columns`` is the declared table schema (the reference loses the
+    names; we keep them — sanctioned improvement, SURVEY §2.1 S6).
+    """
+    arr = F.from_json(F.col(row_col), T.ArrayType(T.StringType()))
+    doc = F.to_json(
+        F.struct(
+            *[F.element_at(arr, i + 1).alias(c) for i, c in enumerate(columns)]
+        )
+    )
+    return df.withColumn("doc", doc)
+
+
+def from_pg_tuples(df: DataFrame, rename: dict[str, str] | None = None) -> DataFrame:
+    """``{col_0: text, ...}`` map → doc JSON, optionally renaming the
+    synthetic names to real ones."""
+    tuple_col = F.col("tuple")
+    if rename:
+        doc = F.to_json(
+            F.struct(
+                *[
+                    F.element_at(tuple_col, syn).alias(real)
+                    for syn, real in rename.items()
+                ]
+            )
+        )
+    else:
+        doc = F.to_json(tuple_col)
+    return df.withColumn("doc", doc)
+
+
+def from_kafka_messages(
+    df: DataFrame,
+    *,
+    default_db: str = "srcdb",
+    topic_col: str = "topic",
+    value_col: str = "value",
+    strict: bool = False,
+) -> DataFrame:
+    """Kafka value JSON → canonical columns with the reference's
+    defaults: action→insert, schema→config db, collection→topic.
+    Non-JSON payloads are dropped (``strict=False``, matching the
+    reference's log-and-skip) or surfaced for dead-lettering."""
+    parsed = F.from_json(
+        F.col(value_col),
+        T.StructType(
+            [
+                T.StructField("action", T.StringType()),
+                T.StructField("schema", T.StringType()),
+                T.StructField("collection", T.StringType()),
+                T.StructField("data", T.StringType()),
+            ]
+        ),
+    )
+    out = (
+        df.withColumn("_p", parsed)
+        .withColumn("op", F.coalesce(F.col("_p.action"), F.lit("insert")))
+        .withColumn("db", F.coalesce(F.col("_p.schema"), F.lit(default_db)))
+        .withColumn("tbl", F.coalesce(F.col("_p.collection"), F.col(topic_col)))
+        .withColumn("doc", F.coalesce(F.col("_p.data"), F.col(value_col)))
+        .drop("_p")
+    )
+    if not strict:
+        # invalid JSON → from_json yields all-null struct AND doc
+        # fallback to raw value; mark droppable rows like the reference
+        # logs-and-skips (kafka_stream.go:393-397)
+        valid = F.from_json(F.col(value_col), T.MapType(T.StringType(), T.StringType())).isNotNull()
+        out = out.where(valid)
+    return out
+
+
+def from_mongo_events(
+    df: DataFrame,
+    current_state: DataFrame | None = None,
+    key_cols: Sequence[str] = ("repo", "path", "commit"),
+) -> DataFrame:
+    """Mongo change-stream shape → canonical, with the 3-tier
+    fullDocument recovery (normal → lookup re-fetch → empty doc,
+    ``mongodb_stream.go:523-581``).
+
+    ``current_state`` is the lake table's live view; the re-fetch
+    becomes one left join for the whole batch instead of a per-event
+    FindOne round trip. Deletes get ``doc='{}'`` exactly like
+    ``mongodb_stream.go:500-502``.
+    """
+    op = (
+        F.when(F.col("operationType") == "replace", F.lit("update"))
+        .otherwise(F.col("operationType"))
+        .alias("op")
+    )
+    out = df.select(
+        F.col("documentKey").alias("key"),
+        op,
+        F.col("fullDocument").alias("doc"),
+        F.col("ns_coll").alias("tbl"),
+        *[c for c in ("seq", "event_id", "ts") if c in df.columns],
+    )
+    if current_state is not None:
+        looked = out.alias("e").join(
+            F.broadcast(
+                current_state.select(
+                    F.struct(*[F.col(k) for k in key_cols]).alias("key"),
+                    F.col("doc_json").alias("_fallback_doc"),
+                )
+            ).alias("s"),
+            F.col("e.key") == F.col("s.key"),
+            "left",
+        )
+        out = looked.select(
+            "e.*",
+            F.coalesce(F.col("e.doc"), F.col("s._fallback_doc")).alias("_doc2"),
+        ).drop("doc").withColumnRenamed("_doc2", "doc")
+    # tier 3: still missing → {} (also the delete convention)
+    return out.withColumn(
+        "doc",
+        F.when(F.col("op") == "delete", F.lit("{}")).otherwise(
+            F.coalesce(F.col("doc"), F.lit("{}"))
+        ),
+    )

@@ -45,6 +45,7 @@ def run_stream(
     max_files_per_trigger: int | None = None,
     available_now: bool = True,
     stream_name: str = "cdc",
+    mode: str = "cow",
     files_per_bucket: int = 1,
 ):
     """Start the CDC streaming query; returns the StreamingQuery.
@@ -65,6 +66,7 @@ def run_stream(
             batch_df,
             batch_key=f"{stream_name}-{batch_id}",
             payload_schema=payload_schema,
+            mode=mode,
             files_per_bucket=files_per_bucket,
         )
 

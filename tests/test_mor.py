@@ -1,0 +1,88 @@
+"""Merge-on-read path: delta-append MERGE + compaction must produce the
+same final state as copy-on-write and as the sequential oracle."""
+
+import hashlib
+
+import pytest
+
+from replicator_spark.feedgen import gen_changes, write_feed
+from replicator_spark.laketable import LakeTable
+from replicator_spark.model import REPOS_SCHEMA
+from replicator_spark.pipeline import replay_feed
+
+from .oracle import content_sha, sequential_apply
+
+
+@pytest.fixture(scope="module")
+def feed(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("mfeed"))
+    write_feed(gen_changes(spark, 3000, n_repos=10, paths_per_repo=40, n_batches=5), d)
+    return d
+
+
+def _sha_state(table):
+    return {
+        (r["repo"], r["path"], r["commit"]): hashlib.sha256(
+            (r["content"] or "").encode()
+        ).hexdigest()
+        for r in table.read().collect()
+    }
+
+
+def test_mor_replay_matches_oracle(spark, feed, tmp_path):
+    table = LakeTable(spark, str(tmp_path / "t"))
+    table.create(REPOS_SCHEMA, num_buckets=8)
+    # high threshold: no auto-compaction during replay → pure delta reads
+    replay_feed(spark, feed, table, mode="mor", compact_after_deltas=100)
+    events = [r.asDict(recursive=True) for r in spark.read.parquet(feed).collect()]
+    assert _sha_state(table) == content_sha(sequential_apply(events))
+
+
+def test_mor_compaction_preserves_state(spark, feed, tmp_path):
+    table = LakeTable(spark, str(tmp_path / "t"))
+    table.create(REPOS_SCHEMA, num_buckets=8)
+    replay_feed(spark, feed, table, mode="mor", compact_after_deltas=100)
+    before = _sha_state(table)
+    snap = table._snap()
+    assert any(v for v in snap.props["deltas"].values()), "deltas expected"
+    table.compact()
+    snap2 = table._snap()
+    assert not any(v for v in snap2.props.get("deltas", {}).values())
+    assert _sha_state(table) == before
+    # compacted read has one row per key, no delta resolution needed
+    live = table.read()
+    assert live.count() == live.select("repo", "path", "commit").distinct().count()
+
+
+def test_mor_auto_compaction_kicks_in(spark, feed, tmp_path):
+    table = LakeTable(spark, str(tmp_path / "t"))
+    table.create(REPOS_SCHEMA, num_buckets=8)
+    replay_feed(spark, feed, table, mode="mor", compact_after_deltas=2)
+    deltas = table._snap().props.get("deltas", {})
+    assert max((len(v) for v in deltas.values()), default=0) < 3
+    events = [r.asDict(recursive=True) for r in spark.read.parquet(feed).collect()]
+    assert _sha_state(table) == content_sha(sequential_apply(events))
+
+
+def test_mixed_mor_then_cow(spark, feed, tmp_path):
+    """A cow merge over a table with pending deltas must fold them in."""
+    table = LakeTable(spark, str(tmp_path / "t"))
+    table.create(REPOS_SCHEMA, num_buckets=8)
+    replay_feed(spark, feed, table, batches=[0, 1, 2], mode="mor", compact_after_deltas=100)
+    replay_feed(spark, feed, table, batches=[3, 4], mode="cow")
+    assert not any(v for v in table._snap().props.get("deltas", {}).values())
+    events = [r.asDict(recursive=True) for r in spark.read.parquet(feed).collect()]
+    assert _sha_state(table) == content_sha(sequential_apply(events))
+
+
+def test_mor_tombstone_expiry(spark, feed, tmp_path):
+    table = LakeTable(spark, str(tmp_path / "t"))
+    table.create(REPOS_SCHEMA, num_buckets=8)
+    replay_feed(spark, feed, table, mode="mor", compact_after_deltas=100)
+    live_before = _sha_state(table)
+    n_with_tombstones = table.read(include_deleted=True).count()
+    # feed fully replayed → every tombstone is expirable
+    table.compact(expire_tombstones_below_seq=10**9)
+    assert _sha_state(table) == live_before
+    assert table.read(include_deleted=True).count() < n_with_tombstones
+    assert table.read(include_deleted=True).count() == len(live_before)

@@ -1,0 +1,86 @@
+"""Training-data dedup operators: exact, MinHash+LSH, SimHash,
+n-gram Jaccard."""
+
+from pyspark.sql import functions as F
+
+from replicator_spark.ops.dedup_text import (
+    exact_dedup,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash64,
+    simhash_near_dups,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill in the afternoon sun light of spring"
+)
+NEAR = BASE.replace("afternoon", "evening")
+FAR = (
+    "completely different content about distributed query engines and "
+    "columnar execution with vectorized operators and shuffle exchanges"
+)
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [(0, BASE), (1, NEAR), (2, FAR), (3, BASE)], "doc_id long, text string"
+    )
+
+
+def test_exact_dedup(spark):
+    out = {r["keep_id"]: r["n_copies"] for r in exact_dedup(_docs(spark)).collect()}
+    assert out[0] == 2  # docs 0 and 3 identical
+    assert out[1] == 1 and out[2] == 1
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    sigs = minhash_signatures(_docs(spark), num_hashes=32)
+    row = sigs.where(F.col("doc_id") == 0).first()
+    assert len(row["signature"]) == 32
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_candidates(sigs, bands=16).collect()
+    }
+    assert (0, 3) in pairs  # identical
+    assert (0, 1) in pairs or (1, 3) in pairs  # near-dup shares bands
+    assert (0, 2) not in pairs and (1, 2) not in pairs  # unrelated
+
+
+def test_minhash_signature_similarity_tracks_jaccard(spark):
+    sigs = {r["doc_id"]: r["signature"] for r in minhash_signatures(_docs(spark)).collect()}
+    agree = lambda a, b: sum(x == y for x, y in zip(sigs[a], sigs[b])) / len(sigs[a])  # noqa: E731
+    assert agree(0, 3) == 1.0
+    assert agree(0, 1) > 0.6
+    assert agree(0, 2) < 0.2
+
+
+def test_ngram_jaccard_verification(spark):
+    docs = _docs(spark)
+    cands = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3)], "id_a long, id_b long"
+    )
+    out = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+           ngram_jaccard_pairs(docs, cands, threshold=0.5).collect()}
+    assert out[(0, 3)] == 1.0
+    assert 0.5 <= out[(0, 1)] < 1.0
+    assert (0, 2) not in out
+
+
+def test_simhash_near_dups(spark):
+    h = simhash64(_docs(spark))
+    vals = {r["doc_id"]: r["simhash"] for r in h.collect()}
+    assert vals[0] == vals[3]
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_dups(h, max_hamming=10).collect()
+    }
+    assert pairs.get((0, 3)) == 0
+    assert (0, 1) in pairs and pairs[(0, 1)] <= 10
+    assert (0, 2) not in pairs
+
+
+def test_simhash_plan_has_no_python(spark):
+    plan = simhash64(_docs(spark))._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -1,0 +1,65 @@
+"""Similarity search: brute-force correctness vs numpy; LSH recall."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from replicator_spark.ops.similarity import brute_force_knn, lsh_bucket_knn
+
+DIM = 16
+N = 60
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(N, DIM)).astype("float32")
+    # plant a near-identical pair for sanity
+    base[1] = base[0] + rng.normal(scale=0.01, size=DIM).astype("float32")
+    rows = [(int(i), [float(x) for x in base[i]]) for i in range(N)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    return df, base
+
+
+def _numpy_knn(base, qidx, k):
+    q = base[qidx].astype("float64")
+    c = base.astype("float64")
+    cos = (c @ q) / (np.linalg.norm(c, axis=1) * np.linalg.norm(q))
+    cos[qidx] = -2
+    order = sorted(range(len(cos)), key=lambda i: (-round(cos[i], 4), i))
+    return order[:k]
+
+
+def test_brute_force_matches_numpy(spark, vecs):
+    df, base = vecs
+    out = brute_force_knn(df, df.where(F.col("vec_id") < 3), k=5)
+    got = {
+        qid: [r["neighbor_id"] for r in rows]
+        for qid, rows in (
+            (q, sorted([r for r in out.collect() if r["query_id"] == q], key=lambda r: r["rank"]))
+            for q in range(3)
+        )
+    }
+    for q in range(3):
+        assert got[q] == _numpy_knn(base, q, 5), f"query {q}"
+
+
+def test_lsh_recall_at_least_half(spark, vecs):
+    df, base = vecs
+    queries = df.where(F.col("vec_id") < 5)
+    exact = brute_force_knn(df, queries, k=5)
+    approx = lsh_bucket_knn(df, queries, dim=DIM, k=5, hash_bits=4, num_tables=6)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"recall {recall}"
+    # the planted twin must be found
+    assert (0, 1) in a
+
+
+def test_lsh_deterministic(spark, vecs):
+    df, _ = vecs
+    q = df.where(F.col("vec_id") == 0)
+    r1 = lsh_bucket_knn(df, q, dim=DIM, k=3).collect()
+    r2 = lsh_bucket_knn(df, q, dim=DIM, k=3).collect()
+    assert r1 == r2

@@ -1,0 +1,91 @@
+"""Text analysis + multimodal plumbing tests."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from replicator_spark.ops.multimodal import (
+    extract_features,
+    frame_sample_plan,
+    gen_media,
+)
+from replicator_spark.ops.text import (
+    detect_lang,
+    doc_fingerprints,
+    quality_features,
+    token_stats,
+)
+
+
+def test_token_stats(spark):
+    df = spark.createDataFrame([(1, "hello world foo")], "doc_id long, text string")
+    r = token_stats(df).first()
+    assert r["n_tokens"] == 3
+    assert r["n_chars_measured"] == 15
+    assert r["bpe_tokens_est"] == 4  # 13 word chars / 4 → ceil 4
+    assert abs(r["mean_token_len"] - 13 / 3) < 1e-3
+
+
+def test_quality_features(spark):
+    df = spark.createDataFrame(
+        [(1, "The cat, the dog! AND a bird.")], "doc_id long, text string"
+    )
+    r = quality_features(df).first()
+    assert r["len"] == 29
+    assert r["punct_ratio"] > 0
+    assert r["upper_ratio"] > 0
+    assert r["stopword_ratio"] > 0  # 'the', 'a'
+    assert 0 < r["distinct_token_ratio"] <= 1
+
+
+def test_detect_lang(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the house and the tree of life"),
+            (2, "der hund und die katze und der vogel"),
+            (3, "el perro y los gatos y el sol"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["lang_pred"] for r in detect_lang(df).collect()}
+    assert out == {1: "en", 2: "de", 3: "es"}
+
+
+def test_doc_fingerprints_deterministic(spark):
+    df = spark.createDataFrame(
+        [(1, "abcdefghij"), (2, "abcdefghij")], "doc_id long, text string"
+    )
+    rows = doc_fingerprints(df).collect()
+    assert rows[0]["content_sha"] == rows[1]["content_sha"]
+    assert rows[0]["min_gram_hash"] == rows[1]["min_gram_hash"]
+
+
+def test_media_features_stub(spark):
+    media = gen_media(spark, 50)
+    feats = extract_features(media, feature_dim=8)
+    rows = feats.collect()
+    assert len(rows) == 50
+    by_id = {r["media_id"]: r for r in rows}
+    raw = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    for mid, r in by_id.items():
+        assert r["payload_sha"] == hashlib.sha256(raw[mid]).hexdigest()
+        assert len(r["feature"]) == 8
+        if r["kind"] == "image":
+            assert r["width"] is not None and r["height"] is not None
+        if r["kind"] == "video":
+            assert r["n_frames"] is not None
+
+
+def test_media_decode_stub_gate(spark):
+    media = gen_media(spark, 3)
+    with pytest.raises(Exception, match="NotImplementedError|real media decode"):
+        extract_features(media, decode_stub=False).collect()
+
+
+def test_frame_sample_plan(spark):
+    media = gen_media(spark, 60)
+    plan = frame_sample_plan(media, every_n=30)
+    rows = plan.groupBy("media_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    assert len(rows) > 0
+    assert all(r["n"] >= 1 for r in rows)
