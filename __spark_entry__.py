@@ -474,6 +474,200 @@ ranked AS (
 SELECT query_id, vec_id AS neighbor_id, cos, rank FROM ranked WHERE rank <= 3
 """
 
+def q_text_quality_ops(spark, sf_dir):
+    """Quality scoring via ops.text.quality_features (length/punct/
+    stopword/uppercase/repetition signals)."""
+    from replicator_spark.ops.text import quality_features
+
+    return quality_features(_load(spark, sf_dir, "documents"))
+
+
+SQL_text_quality_ops = r"""
+SELECT doc_id,
+       length(text) AS len,
+       round(CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+             / greatest(length(text), 1), 4) AS punct_ratio,
+       round(CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE)
+             / greatest(length(text), 1), 4) AS upper_ratio,
+       round(CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                                  x -> x IN ('the', 'a', 'and', 'of', 'to'))) AS DOUBLE)
+             / greatest(len(string_split_regex(trim(text), '\s+')), 1), 4) AS stopword_ratio,
+       round(CAST(len(list_distinct(string_split_regex(trim(text), '\s+'))) AS DOUBLE)
+             / greatest(len(string_split_regex(trim(text), '\s+')), 1), 4) AS distinct_token_ratio
+FROM documents
+"""
+
+
+def q_lang_id(spark, sf_dir):
+    """Marker-lexicon language ID (ops.text.detect_lang) — n-gram
+    heuristic, JVM-side."""
+    from replicator_spark.ops.text import detect_lang
+
+    out = detect_lang(_load(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id", "lang_pred", F.round("lang_pred_score", 2).alias("score")
+    )
+
+
+def _lang_score_sql(markers: list[str]) -> str:
+    terms = [
+        f"(length(p) - length(replace(p, ' {m} ', ''))) / {len(m) + 2}.0"
+        for m in markers
+    ]
+    return " + ".join(terms)
+
+
+SQL_lang_id = f"""
+WITH p0 AS (SELECT doc_id, ' ' || text || ' ' AS p FROM documents),
+scored AS (
+  SELECT doc_id, unnest([
+    {{'score': CAST({_lang_score_sql(['the', 'and', 'of'])} AS DOUBLE), 'lang': 'en'}},
+    {{'score': CAST({_lang_score_sql(['der', 'und', 'die'])} AS DOUBLE), 'lang': 'de'}},
+    {{'score': CAST({_lang_score_sql(['le', 'et', 'les'])} AS DOUBLE), 'lang': 'fr'}},
+    {{'score': CAST({_lang_score_sql(['el', 'y', 'los'])} AS DOUBLE), 'lang': 'es'}},
+    {{'score': CAST({_lang_score_sql(['的', '是', '了'])} AS DOUBLE), 'lang': 'zh'}}
+  ]) AS s
+  FROM p0
+)
+SELECT doc_id, max(s)['lang'] AS lang_pred, round(max(s)['score'], 2) AS score
+FROM scored GROUP BY doc_id
+"""
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """Exact 5-gram Jaccard similarity for a bounded candidate set
+    (doc pairs with id < 12) — the LSH verification stage."""
+    from replicator_spark.ops.dedup_text import ngram_jaccard_pairs
+
+    docs = _load(spark, sf_dir, "documents").where(F.col("doc_id") < 12)
+    cands = (
+        docs.select(F.col("doc_id").alias("id_a"))
+        .crossJoin(docs.select(F.col("doc_id").alias("id_b")))
+        .where(F.col("id_a") < F.col("id_b"))
+    )
+    return ngram_jaccard_pairs(docs, cands, threshold=0.0)
+
+
+SQL_ngram_jaccard = """
+WITH sh AS (
+  SELECT doc_id,
+         -- range() upper bound is EXCLUSIVE (Spark sequence is inclusive):
+         -- greatest(len-3, 2) ≙ Spark's sequence(1, greatest(len-4, 1))
+         list_distinct([substr(text, i, 5)
+                        for i in range(1, greatest(length(text) - 3, 2))]) AS s
+  FROM documents WHERE doc_id < 12
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.s, b.s))), 4) >= 0.0
+"""
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (cos >= 0.9), brute force
+    over the full embeddings table."""
+    emb = _load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    dot = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+    nrm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda s, x: s + x * x))  # noqa: E731
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", F.round(dot / (nrm(F.col("va")) * nrm(F.col("vb"))), 4))
+        .where(F.col("cos") >= 0.9)
+        .select("id_a", "id_b", "cos")
+    )
+
+
+SQL_embedding_near_dup = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cos
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.9
+"""
+
+
+# -- non-SQL-expressible ops (driver records rows-only checks) --------------
+
+
+def q_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup candidates over documents (xxhash64
+    permutation hashing — not reproducible in ANSI SQL)."""
+    from replicator_spark.ops.dedup_text import minhash_lsh_candidates, minhash_signatures
+
+    docs = _load(spark, sf_dir, "documents")
+    return minhash_lsh_candidates(
+        minhash_signatures(docs, num_hashes=32), bands=16
+    )
+
+
+def q_simhash_dedup(spark, sf_dir):
+    """SimHash near-dup pairs (chunked pigeonhole blocking)."""
+    from replicator_spark.ops.dedup_text import simhash64, simhash_near_dups
+
+    docs = _load(spark, sf_dir, "documents")
+    return simhash_near_dups(simhash64(docs), max_hamming=12)
+
+
+def q_ann_lsh(spark, sf_dir):
+    """LSH-bucketed approximate nearest neighbors (scale path of
+    knn_bruteforce)."""
+    from replicator_spark.ops.similarity import lsh_bucket_knn
+
+    emb = _load(spark, sf_dir, "embeddings")
+    return lsh_bucket_knn(
+        emb, emb.where(F.col("vec_id") < 5), dim=64, k=3, hash_bits=4, num_tables=6
+    )
+
+
+def q_media_features(spark, sf_dir):
+    """Multimodal plumbing: synthetic media table → mapInPandas feature
+    extraction (stub codec, real Arrow batch path)."""
+    from replicator_spark.ops.multimodal import extract_features, gen_media
+
+    return extract_features(gen_media(spark, 200), feature_dim=8).drop("feature")
+
+
+def q_cdc_replay_roundtrip(spark, sf_dir):
+    """The real engine end-to-end: deterministic feed → streaming-
+    equivalent batch replay → MERGE (mor) → compaction → final table
+    state with sha256(content). Stateful, hence rows-only checked."""
+    import os
+    import shutil
+
+    from replicator_spark.feedgen import gen_changes, write_feed
+    from replicator_spark.laketable import LakeTable
+    from replicator_spark.model import REPOS_SCHEMA
+    from replicator_spark.pipeline import replay_feed
+
+    tmp = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".scratch", "cdc_roundtrip"
+    )
+    shutil.rmtree(tmp, ignore_errors=True)
+    feed, root = f"{tmp}/feed", f"{tmp}/table"
+    write_feed(gen_changes(spark, 20_000, n_repos=20, n_batches=4), feed)
+    table = LakeTable(spark, root)
+    table.create(REPOS_SCHEMA, num_buckets=8)
+    replay_feed(spark, feed, table, mode="mor", write_metrics=False)
+    table.compact()
+    return table.read().select(
+        "repo", "path", "commit", "lang", F.sha2("content", 256).alias("content_sha")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -504,6 +698,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_distribution": q_lang_distribution,
         "doc_fingerprint": q_doc_fingerprint,
         "knn_bruteforce": q_knn_bruteforce,
+        "text_quality_ops": q_text_quality_ops,
+        "lang_id": q_lang_id,
+        "ngram_jaccard": q_ngram_jaccard,
+        "embedding_near_dup": q_embedding_near_dup,
+        # rows-only (no ANSI-SQL equivalent):
+        "minhash_lsh": q_minhash_lsh,
+        "simhash_dedup": q_simhash_dedup,
+        "ann_lsh": q_ann_lsh,
+        "media_features": q_media_features,
+        "cdc_replay_roundtrip": q_cdc_replay_roundtrip,
     }
 
 
@@ -527,4 +731,8 @@ def oracle_sql() -> dict[str, str]:
         "lang_distribution": SQL_lang_distribution,
         "doc_fingerprint": SQL_doc_fingerprint,
         "knn_bruteforce": SQL_knn_bruteforce,
+        "text_quality_ops": SQL_text_quality_ops,
+        "lang_id": SQL_lang_id,
+        "ngram_jaccard": SQL_ngram_jaccard,
+        "embedding_near_dup": SQL_embedding_near_dup,
     }

@@ -46,8 +46,8 @@ SCRATCH = os.environ.get(
 )
 
 
-def bench_cdc(spark, n_events: int, results: dict) -> float:
-    feed = os.path.join(SCRATCH, f"feed_{n_events}")
+def bench_cdc(spark, n_events: int, results: dict, n_batches: int = 8, warmup: int = 2) -> float:
+    feed = os.path.join(SCRATCH, f"feed_{n_events}_{n_batches}")
     root = os.path.join(SCRATCH, "table")
     shutil.rmtree(root, ignore_errors=True)
     marker = os.path.join(feed, "_DONE")
@@ -56,7 +56,7 @@ def bench_cdc(spark, n_events: int, results: dict) -> float:
         t0 = time.time()
         write_feed(
             gen_changes(
-                spark, n_events, n_repos=200, paths_per_repo=500, n_batches=4
+                spark, n_events, n_repos=200, paths_per_repo=500, n_batches=n_batches
             ),
             feed,
         )
@@ -79,6 +79,13 @@ def bench_cdc(spark, n_events: int, results: dict) -> float:
     results["cdc_apply"] = round(apply_sec, 3)
     results["cdc_events"] = total
     results["cdc_events_per_sec"] = round(total / apply_sec, 1)
+    # steady state: drop the first `warmup` batches (JIT/codegen warmup
+    # dominates short runs and distorts cross-parallelism comparison)
+    steady = res[warmup:] if len(res) > warmup else res
+    ev_s = sum(r.received for r in steady)
+    sec_s = sum(r.wall_ms for r in steady) / 1000.0
+    results["cdc_batch_walls_ms"] = [r.wall_ms for r in res]
+    results["cdc_events_per_sec_steady"] = round(ev_s / sec_s, 1) if sec_s else None
 
     table = LakeTable(spark, root)
     t0 = time.time()
@@ -115,15 +122,30 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     n_events = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "1500000"))
     os.makedirs(SCRATCH, exist_ok=True)
+    # heap scales with cores (constant per-core memory, like a real
+    # executor fleet); pre-touch avoids multi-second lazy-commit stalls;
+    # capped below 32g so the JVM keeps compressed oops (a >32g heap
+    # doubles reference width and measurably collapses throughput here)
+    heap_gb = int(os.environ.get("SPARK_GRAFT_HEAP_GB", str(min(3 * cpus, 28))))
+    os.environ.setdefault("SPARK_DRIVER_MEM", f"{heap_gb}g")
     spark = get_spark(
         "bench",
         cores=cpus,
         shuffle_partitions=cpus,
-        extra_conf={"spark.local.dir": os.path.join(SCRATCH, "spark-local")},
+        extra_conf={
+            "spark.local.dir": os.path.join(SCRATCH, "spark-local"),
+            "spark.driver.extraJavaOptions": (
+                f"-XX:+UseG1GC -XX:+AlwaysPreTouch -Xms{heap_gb}g"
+            ),
+        },
     )
 
     queries: dict = {}
-    apply_sec = bench_cdc(spark, n_events, queries)
+    n_batches = int(os.environ.get("SPARK_GRAFT_BENCH_NBATCHES", "8"))
+    apply_sec = bench_cdc(
+        spark, n_events, queries, n_batches=n_batches,
+        warmup=2 if n_batches >= 6 else 1,
+    )
     qtotal = 0.0
     if os.environ.get("SPARK_GRAFT_BENCH_ONLY") != "cdc":
         qtotal = bench_queries(spark, sf_dir, queries)

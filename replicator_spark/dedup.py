@@ -37,11 +37,13 @@ def lww_latest(
     """Keep, per key, only the row with the greatest ``seq``.
 
     Implemented as ``max_by(struct(<all other cols>), struct(seq,
-    tiebreak))`` — a hash aggregation with map-side partial combine, so
-    redelivered/superseded rows collapse *before* the shuffle. That
-    beats the window/row_number formulation (full shuffle + sort of
-    every row) by a wide margin on contended keys, which is exactly the
-    hot-repo case. ``tiebreak_col`` makes the result deterministic if
+    tiebreak))`` — an aggregation with map-side partial combine, so
+    redelivered/superseded rows collapse *before* the shuffle (the
+    struct-typed buffer makes Spark plan SortAggregate rather than
+    HashAggregate, but the partial/final split is what matters). That
+    beats the window/row_number formulation (full shuffle of every row,
+    then sort + rank) on contended keys, which is exactly the hot-repo
+    case. ``tiebreak_col`` makes the result deterministic if
     two events ever share a seq (should not happen for a real LSN;
     belt and braces).
     """

@@ -133,6 +133,25 @@ def gen_changes(
     return out
 
 
-def write_feed(df: DataFrame, feed_dir: str) -> None:
-    """Materialize the feed as parquet log segments partitioned by batch."""
-    df.write.mode("overwrite").partitionBy("batch_id").parquet(feed_dir)
+def write_feed(
+    df: DataFrame, feed_dir: str, files_per_batch: int | None = None
+) -> None:
+    """Materialize the feed as parquet log segments partitioned by batch.
+
+    Explicitly repartitions on (batch_id, event-hash salt) so every
+    batch directory gets evenly sized, splittable files REGARDLESS of
+    the generating session's core count — a feed generated at local[2]
+    must not hand unsplittable 40MB single-row-group stragglers to a
+    local[32] reader (single-file row groups serialize the scan).
+    """
+    n_batches = df.select("batch_id").distinct().count()
+    if files_per_batch is None:
+        approx_rows = df.count()
+        files_per_batch = max(8, min(64, approx_rows // (n_batches * 100_000) + 1))
+    salt = F.pmod(F.xxhash64(F.col("event_id"), F.lit(7)), F.lit(files_per_batch))
+    (
+        df.repartition(n_batches * files_per_batch, F.col("batch_id"), salt)
+        .write.mode("overwrite")
+        .partitionBy("batch_id")
+        .parquet(feed_dir)
+    )

@@ -110,6 +110,46 @@ class LakeTable:
     def exists(self) -> bool:
         return cl.current_version(self.root) is not None
 
+    def drop(self) -> None:
+        """DROP TABLE (``pkg/estuary/interface.go:22``)."""
+        import shutil
+
+        shutil.rmtree(self.root, ignore_errors=True)
+
+    def truncate(self) -> None:
+        """TRUNCATE TABLE (``interface.go:23``): new snapshot with no
+        data files; history and committed-batch ledger retained so
+        replayed batches stay no-ops."""
+        snap = self._snap()
+        cl.commit_snapshot(
+            self.root,
+            cl.Snapshot(
+                version=snap.version + 1,
+                parent=snap.version,
+                schema_json=snap.schema_json,
+                num_buckets=snap.num_buckets,
+                files={},
+                committed_batches=dict(snap.committed_batches),
+                props={"truncated": True, "deltas": {}},
+            ),
+        )
+
+    def history(self) -> list[dict]:
+        """Snapshot history (time-travel index)."""
+        out = []
+        for v in cl.list_versions(self.root):
+            s = cl.load_snapshot(self.root, v)
+            out.append(
+                {
+                    "version": v,
+                    "parent": s.parent,
+                    "committed_at_ms": s.committed_at_ms,
+                    "n_files": sum(len(f) for f in s.files.values()),
+                    "batch_key": (s.props or {}).get("batch_key"),
+                }
+            )
+        return out
+
     def schema(self, version: int | None = None) -> T.StructType:
         return T.StructType.fromJson(json.loads(self._snap(version).schema_json))
 
@@ -447,6 +487,10 @@ class LakeTable:
             df.repartition(nparts, F.col(BUCKET_COL), salt)
             .sortWithinPartitions(*key_cols)
             .write.mode("overwrite")
+            # content/commit columns are high-entropy — parquet dictionary
+            # encoding only burns CPU before falling back (measured ~2.5s
+            # per 700k-row batch)
+            .option("parquet.enable.dictionary", "false")
             .partitionBy(BUCKET_COL)
             .parquet(out_dir)
         )

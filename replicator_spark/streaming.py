@@ -86,3 +86,32 @@ def run_stream_to_completion(spark, feed_dir, table, checkpoint_dir, **kw):
     q = run_stream(spark, feed_dir, table, checkpoint_dir, available_now=True, **kw)
     q.awaitTermination()
     return q
+
+
+def attach_progress_listener(spark: SparkSession, out_path: str):
+    """Persist StreamingQueryProgress as JSON lines — the observable
+    replacement for the reference's management/metrics HTTP API
+    (``pkg/api/metrics.go``): stream state, rows/sec, batch durations
+    all land in a queryable file instead of a live endpoint."""
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    class _L(StreamingQueryListener):
+        def onQueryStarted(self, event):
+            pass
+
+        def onQueryProgress(self, event):
+            import os
+
+            os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+            with open(out_path, "a") as f:
+                f.write(event.progress.json + "\n")
+
+        def onQueryIdle(self, event):
+            pass
+
+        def onQueryTerminated(self, event):
+            pass
+
+    listener = _L()
+    spark.streams.addListener(listener)
+    return listener

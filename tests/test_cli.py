@@ -1,0 +1,59 @@
+"""CLI entry point: config validation flags + an end-to-end run."""
+
+import json
+
+from replicator_spark import cli
+from replicator_spark.feedgen import gen_changes, write_feed
+
+
+def _cfg(tmp_path, **over):
+    d = {
+        "name": "t",
+        "feed_dir": str(tmp_path / "feed"),
+        "table_root": str(tmp_path / "table"),
+        "checkpoint_dir": str(tmp_path / "ckpt"),
+        "streaming": False,
+        "mode": "mor",
+        "num_buckets": 4,
+    }
+    d.update(over)
+    p = tmp_path / "job.json"
+    p.write_text(json.dumps(d))
+    return str(p)
+
+
+def test_validate_ok(tmp_path, capsys):
+    assert cli.main(["validate", "--config", _cfg(tmp_path)]) == 0
+    assert "config valid" in capsys.readouterr().out
+
+
+def test_validate_catches_errors(tmp_path, capsys):
+    p = _cfg(tmp_path, mode="upsert", streaming=True, checkpoint_dir=None)
+    assert cli.main(["validate", "--config", p]) == 1
+    err = capsys.readouterr().err
+    assert "mode must be" in err and "checkpoint_dir" in err
+
+
+def test_unknown_key_rejected(tmp_path):
+    import pytest
+
+    p = tmp_path / "bad.json"
+    p.write_text(json.dumps({"name": "x", "feed_dir": "f", "table_root": "t", "oops": 1}))
+    with pytest.raises(ValueError, match="unknown config keys"):
+        cli.main(["validate", "--config", str(p)])
+
+
+def test_show_config(tmp_path, capsys):
+    assert cli.main(["show-config", "--config", _cfg(tmp_path)]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["mode"] == "mor" and out["num_buckets"] == 4
+
+
+def test_run_batch_job(spark, tmp_path, capsys):
+    cfg = _cfg(tmp_path, transform_rules=[
+        {"name": "noop", "actions": [{"type": "pass"}]},
+    ])
+    write_feed(gen_changes(spark, 800, n_repos=5, n_batches=2), str(tmp_path / "feed"))
+    assert cli.main(["run", "--config", cfg]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["live_rows"] > 0 and out["version"] == 2

@@ -1,0 +1,66 @@
+"""Estuary fan-out: multi-sink write, keyed-log ordering, continue-on-error."""
+
+import json
+
+from pyspark.sql import functions as F
+
+from replicator_spark.estuaries import (
+    ConsoleSink,
+    KeyedLogSink,
+    LakeSink,
+    Sink,
+    fan_out,
+)
+from replicator_spark.feedgen import gen_changes, write_feed
+from replicator_spark.laketable import LakeTable
+from replicator_spark.model import KEY_COLS, REPOS_SCHEMA
+from replicator_spark.pipeline import infer_payload_schema, normalize
+from replicator_spark.dedup import lww_latest
+
+
+class _Boom(Sink):
+    name = "boom"
+
+    def write(self, prepared, batch_key):
+        raise RuntimeError("sink down")
+
+
+def _prepared(spark, tmp_path, n=800):
+    feed = str(tmp_path / "feed")
+    write_feed(gen_changes(spark, n, n_repos=5, n_batches=1), feed)
+    raw = spark.read.parquet(f"{feed}/batch_id=0")
+    flat = normalize(raw, infer_payload_schema(raw))
+    return lww_latest(flat, KEY_COLS, "seq")
+
+
+def test_fanout_lake_and_keyedlog(spark, tmp_path):
+    prepared = _prepared(spark, tmp_path)
+    table = LakeTable(spark, str(tmp_path / "t"))
+    table.create(REPOS_SCHEMA, num_buckets=4)
+    log_dir = str(tmp_path / "log")
+    res = fan_out(
+        prepared, "b0", [LakeSink(table), KeyedLogSink(log_dir, num_partitions=4)]
+    )
+    assert not res.errors
+    assert table.read().count() > 0
+    log = spark.read.parquet(f"{log_dir}/batch=b0")
+    assert log.count() == prepared.count()
+    row = json.loads(log.first()["value"])
+    assert {"repo", "path", "commit", "seq", "op"} <= set(row)
+    # keying: each key lands in exactly one partition (ordering preserved)
+    multi = (
+        log.groupBy("key")
+        .agg(F.countDistinct("partition").alias("np"))
+        .where(F.col("np") > 1)
+        .count()
+    )
+    assert multi == 0
+
+
+def test_fanout_continue_on_error(spark, tmp_path):
+    prepared = _prepared(spark, tmp_path)
+    table = LakeTable(spark, str(tmp_path / "t2"))
+    table.create(REPOS_SCHEMA, num_buckets=4)
+    res = fan_out(prepared, "b0", [_Boom(), LakeSink(table)])
+    assert "boom" in res.errors
+    assert table.read().count() > 0  # later sinks still ran

