@@ -324,6 +324,115 @@ SELECT seq % 8 AS batch_id, op, COUNT(*) AS n, COUNT(DISTINCT repo) AS n_repos
 FROM feed GROUP BY 1, 2
 """
 
+def q_transform_engine_chain(spark, sf_dir):
+    """The real rule engine end-to-end (T1–T9): a 4-rule priority chain
+    — kazaam extract+delete, a conditional set (typed gte), a default
+    backfill, and a deterministic uuid — compiled to Column projections
+    (``pkg/transform/engine.go:69-167``)."""
+    from replicator_spark.transform import Action, Condition, Rule, TransformEngine
+
+    feed = _feed(spark, sf_dir).withColumn("doc", F.from_json("props", "k long"))
+    rules = [
+        Rule(
+            "hoist",
+            priority=1,
+            actions=[
+                Action("extract", {"field": "doc", "subfields": ["k"]}),
+                Action("delete", {"fields": ["props", "user_id"]}),
+            ],
+        ),
+        Rule(
+            "tier-high",
+            priority=2,
+            conditions=[Condition("k", "gte", 50)],
+            actions=[Action("set", {"tier": "high"})],
+        ),
+        Rule("tier-default", priority=3, actions=[Action("default", {"tier": "low"})]),
+        Rule(
+            "row-id",
+            priority=4,
+            actions=[
+                Action(
+                    "uuid",
+                    {
+                        "field": "row_id",
+                        "from": ["repo", "path", "commit"],
+                        "deterministic": True,
+                    },
+                )
+            ],
+        ),
+    ]
+    out, _ = TransformEngine(rules, protected=("seq", "op")).apply(feed)
+    return out.select("seq", "repo", "k", "tier", "row_id")
+
+
+SQL_transform_engine_chain = f"""
+WITH {_FEED_CTE}
+SELECT seq, repo,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+       CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+            THEN 'high' ELSE 'low' END AS tier,
+       sha256(repo || '|' || path || '|' || "commit") AS row_id
+FROM feed
+"""
+
+
+def q_extjson_decode(spark, sf_dir):
+    """Mongo Extended-JSON scalar decode (S4, ``mongo.go:140-220``):
+    wrap feed values as $oid/$numberLong/$numberDouble, decode through
+    the vectorized Arrow UDF, extract typed scalars back."""
+    from replicator_spark.functions.extjson import decode_extended_json
+
+    ext = F.concat(
+        F.lit('{"_id":{"$oid":"'), F.col("commit"),
+        F.lit('"},"n":{"$numberLong":"'), F.col("seq").cast("string"),
+        F.lit('"},"v":{"$numberDouble":"'), F.col("value").cast("string"),
+        F.lit('"}}'),
+    )
+    dec = decode_extended_json(ext)
+    return (
+        _feed(spark, sf_dir)
+        .where(F.col("op") == "insert")
+        .select(
+            "seq",
+            F.get_json_object(dec, "$._id").alias("oid"),
+            F.get_json_object(dec, "$.n").cast("long").alias("n"),
+            F.get_json_object(dec, "$.v").cast("double").alias("v"),
+        )
+    )
+
+
+SQL_extjson_decode = f"""
+WITH {_FEED_CTE}
+SELECT seq, "commit" AS oid, seq AS n, value AS v FROM feed WHERE op = 'insert'
+"""
+
+
+def q_filter_regex_in(spark, sf_dir):
+    """EventFilter in/nin/regex predicates (S10,
+    ``pkg/models/types.go:218-235``) as native Column ops — pushed into
+    the parquet scan by Catalyst."""
+    return (
+        _feed(spark, sf_dir)
+        .where(
+            F.col("path").rlike(r"^f[0-4]/(click|view)$")
+            & F.col("repo").isin("repo-1", "repo-5", "repo-7")
+            & ~F.col("op").isin("delete")
+        )
+        .select("seq", "repo", "path", "op")
+    )
+
+
+SQL_filter_regex_in = f"""
+WITH {_FEED_CTE}
+SELECT seq, repo, path, op FROM feed
+WHERE regexp_matches(path, '^f[0-4]/(click|view)$')
+  AND repo IN ('repo-1', 'repo-5', 'repo-7')
+  AND op NOT IN ('delete')
+"""
+
+
 # ---------------------------------------------------------------------------
 # Training-data pipeline ops (documents / embeddings)
 # ---------------------------------------------------------------------------
@@ -567,26 +676,16 @@ WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
 
 
 def q_embedding_near_dup(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs (cos >= 0.9), brute force
-    over the full embeddings table."""
-    emb = _load(spark, sf_dir, "embeddings").select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
-    )
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
-    dot = F.aggregate(
-        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda s, x: s + x,
-    )
-    nrm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda s, x: s + x * x))  # noqa: E731
-    return (
-        a.crossJoin(b)
-        .where(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", F.round(dot / (nrm(F.col("va")) * nrm(F.col("vb"))), 4))
-        .where(F.col("cos") >= 0.9)
-        .select("id_a", "id_b", "cos")
-    )
+    """Embedding-cosine near-duplicate pairs (cos >= 0.4), exact, via
+    block nested-loop + numpy matmul kernel (ops.similarity.
+    cosine_near_dup_blocked) — the crossJoin + zip_with fold formulation
+    is ~50x slower (interpreted lambda per element per pair). Threshold
+    0.4 because the synthetic embeddings are near-orthogonal (max
+    pairwise cos ≈ 0.51): a 0.9 cut would be vacuously empty."""
+    from replicator_spark.ops.similarity import cosine_near_dup_blocked
+
+    emb = _load(spark, sf_dir, "embeddings")
+    return cosine_near_dup_blocked(emb, threshold=0.4, n_blocks=16)
 
 
 SQL_embedding_near_dup = """
@@ -596,7 +695,7 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cos
 FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE round(list_dot_product(a.v, b.v)
-            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.9
+            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.4
 """
 
 
@@ -615,11 +714,15 @@ def q_minhash_lsh(spark, sf_dir):
 
 
 def q_simhash_dedup(spark, sf_dir):
-    """SimHash near-dup pairs (chunked pigeonhole blocking)."""
+    """SimHash near-dup pairs (chunked pigeonhole blocking). Hamming
+    radius 3 over 64 bits — the conventional simhash dedup setting;
+    wide radii degrade blocking selectivity quadratically (radius 12
+    means 13 chunks of ~5 bits → 32-value chunk alphabet → every bucket
+    holds n/32 docs and the verify stage goes O(n²))."""
     from replicator_spark.ops.dedup_text import simhash64, simhash_near_dups
 
     docs = _load(spark, sf_dir, "documents")
-    return simhash_near_dups(simhash64(docs), max_hamming=12)
+    return simhash_near_dups(simhash64(docs), max_hamming=3)
 
 
 def q_ann_lsh(spark, sf_dir):
@@ -692,6 +795,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transform_tiering": q_transform_tiering,
         "lookup_join_enrich": q_lookup_join_enrich,
         "metrics_rollup": q_metrics_rollup,
+        "transform_engine_chain": q_transform_engine_chain,
+        "extjson_decode": q_extjson_decode,
+        "filter_regex_in": q_filter_regex_in,
         "dedup_exact_documents": q_dedup_exact_documents,
         "text_token_count": q_text_token_count,
         "text_quality": q_text_quality,
@@ -725,6 +831,9 @@ def oracle_sql() -> dict[str, str]:
         "transform_tiering": SQL_transform_tiering,
         "lookup_join_enrich": SQL_lookup_join_enrich,
         "metrics_rollup": SQL_metrics_rollup,
+        "transform_engine_chain": SQL_transform_engine_chain,
+        "extjson_decode": SQL_extjson_decode,
+        "filter_regex_in": SQL_filter_regex_in,
         "dedup_exact_documents": SQL_dedup_exact_documents,
         "text_token_count": SQL_text_token_count,
         "text_quality": SQL_text_quality,

@@ -65,6 +65,91 @@ def brute_force_knn(
     )
 
 
+def cosine_near_dup_blocked(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_blocks: int = 16,
+    round_to: int | None = 4,
+) -> DataFrame:
+    """All pairs with cosine >= threshold, exact, via block nested-loop
+    with a vectorized numpy kernel.
+
+    The naive formulation (crossJoin + per-pair ``zip_with``/``aggregate``
+    fold) evaluates an interpreted lambda per vector element per pair —
+    O(n²·d) lambda dispatches. Here vectors are hashed into ``n_blocks``
+    groups, the (i ≤ j) block pairs are enumerated (n_blocks² / 2 rows,
+    each carrying two sub-matrices), and each pair is resolved with one
+    BLAS matmul inside ``applyInPandas`` — the same O(n²·d) flops but at
+    memory bandwidth instead of expression-interpreter speed. At cluster
+    scale this is the standard exact all-pairs layout: block size is
+    chosen so a block pair fits executor memory, and the block-pair join
+    is an even n_blocks²-way parallelism source. (For 100 TB one runs
+    the LSH candidate pass first — ``lsh_bucket_knn`` — and this kernel
+    only inside buckets.)
+    """
+    import pandas as pd
+
+    norm = F.sqrt(_dot(F.col("_v"), F.col("_v")))
+    vecs = df.select(
+        F.col(id_col).alias("_id"),
+        _as_double(F.col(vec_col)).alias("_v"),
+    ).select(
+        "_id",
+        F.transform("_v", lambda x: x / norm).alias("_v"),
+        F.pmod(F.xxhash64(F.col("_id").cast("string")), F.lit(n_blocks)).alias("_blk"),
+    )
+    blocks = vecs.groupBy("_blk").agg(
+        F.collect_list("_id").alias("ids"), F.collect_list("_v").alias("vs")
+    )
+    a = blocks.select(
+        F.col("_blk").alias("blk_a"), F.col("ids").alias("ids_a"), F.col("vs").alias("vs_a")
+    )
+    b = blocks.select(
+        F.col("_blk").alias("blk_b"), F.col("ids").alias("ids_b"), F.col("vs").alias("vs_b")
+    )
+    n_pairs = n_blocks * (n_blocks + 1) // 2
+    pairs = a.join(b, F.col("blk_a") <= F.col("blk_b")).repartition(
+        min(n_pairs, df.sparkSession.sparkContext.defaultParallelism)
+    )
+
+    out_schema = "id_a long, id_b long, cos double"
+
+    def _kernel(pdf_iter):
+        import numpy as np
+
+        for pdf in pdf_iter:
+            for row in pdf.itertuples(index=False):
+                ids_a = np.asarray(row.ids_a, dtype=np.int64)
+                ids_b = np.asarray(row.ids_b, dtype=np.int64)
+                ma = np.asarray([np.asarray(v) for v in row.vs_a])
+                mb = np.asarray([np.asarray(v) for v in row.vs_b])
+                cos = ma @ mb.T  # rows pre-normalized
+                if round_to is not None:
+                    cos = np.round(cos, round_to)
+                ia, ib = np.nonzero(cos >= threshold)
+                if len(ia) == 0:
+                    continue
+                ra, rb = ids_a[ia], ids_b[ib]
+                if row.blk_a == row.blk_b:
+                    # same block: each unordered pair appears twice (and
+                    # as self-pairs on the diagonal) — keep the a<b half
+                    keep = ra < rb
+                    if not keep.any():
+                        continue
+                    ra, rb, c = ra[keep], rb[keep], cos[ia, ib][keep]
+                else:
+                    # distinct blocks: each unordered pair appears exactly
+                    # once — normalize (min, max), drop nothing
+                    c = cos[ia, ib]
+                    ra, rb = np.minimum(ra, rb), np.maximum(ra, rb)
+                yield pd.DataFrame({"id_a": ra, "id_b": rb, "cos": c})
+
+    return pairs.mapInPandas(_kernel, schema=out_schema)
+
+
 def _lsh_key(vec_col, dim: int, bits: int, table: int, seed: int):
     """Sign-projection hash: hyperplane h_{t,b} has components
     derived from xxhash64(t, b, j) mapped to ±1 — deterministic, no

@@ -81,6 +81,28 @@ def test_simhash_near_dups(spark):
     assert (0, 2) not in pairs
 
 
-def test_simhash_plan_has_no_python(spark):
-    plan = simhash64(_docs(spark))._jdf.queryExecution().executedPlan().toString()
-    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+def test_simhash_arrow_matches_jvm(spark):
+    """The vectorized numpy kernel and the pure-JVM expression form
+    must produce bit-identical simhashes (incl. empty docs)."""
+    from replicator_spark.ops.dedup_text import simhash64
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumped over the lazy dog"),
+        (2, ""),
+        (3, "x"),
+        (4, "a b c d e f g h i j k l m n o p q r s t u v w x y z " * 40),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got_a = {r["doc_id"]: r["simhash"] for r in simhash64(df, impl="arrow").collect()}
+    got_j = {r["doc_id"]: r["simhash"] for r in simhash64(df, impl="jvm").collect()}
+    assert got_a == got_j
+
+
+def test_simhash_plan_impls(spark):
+    """jvm impl must stay entirely JVM-side; arrow impl must use the
+    Arrow (vectorized) python runner, never row-at-a-time pickling."""
+    plan_j = simhash64(_docs(spark), impl="jvm")._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan_j and "ArrowEvalPython" not in plan_j
+    plan_a = simhash64(_docs(spark), impl="arrow")._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan_a and "BatchEvalPython" not in plan_a

@@ -4,7 +4,11 @@ import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
-from replicator_spark.ops.similarity import brute_force_knn, lsh_bucket_knn
+from replicator_spark.ops.similarity import (
+    brute_force_knn,
+    cosine_near_dup_blocked,
+    lsh_bucket_knn,
+)
 
 DIM = 16
 N = 60
@@ -55,6 +59,30 @@ def test_lsh_recall_at_least_half(spark, vecs):
     assert recall >= 0.5, f"recall {recall}"
     # the planted twin must be found
     assert (0, 1) in a
+
+
+def test_blocked_near_dup_matches_numpy(spark, vecs):
+    """The block-matmul kernel must find exactly the pairs numpy finds
+    — every unordered pair once, regardless of which blocks the ids
+    hash into."""
+    df, base = vecs
+    thr = 0.3  # low threshold → plenty of pairs, exercises both branches
+    c = base.astype("float64")
+    c = c / np.linalg.norm(c, axis=1, keepdims=True)
+    cos = np.round(c @ c.T, 4)
+    want = {
+        (i, j): cos[i, j]
+        for i in range(N)
+        for j in range(i + 1, N)
+        if cos[i, j] >= thr
+    }
+    got = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in cosine_near_dup_blocked(df, threshold=thr, n_blocks=5).collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9, k
 
 
 def test_lsh_deterministic(spark, vecs):

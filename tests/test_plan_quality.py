@@ -67,13 +67,21 @@ def test_no_python_eval_in_cdc_queries(spark):
     jvm_only = [
         "cdc_final_state", "cdc_lww_latest", "cdc_op_stats",
         "transform_shift_rename", "lookup_join_enrich", "knn_bruteforce",
-        "text_quality_ops", "lang_id", "simhash_dedup", "minhash_lsh",
+        "text_quality_ops", "lang_id", "minhash_lsh",
+        "transform_engine_chain", "filter_regex_in",
     ]
     qs = entry.queries()
     for name in jvm_only:
         plan = _plan(qs[name](spark, SF))
         assert "BatchEvalPython" not in plan, name
         assert "ArrowEvalPython" not in plan, name
+    # Python is allowed ONLY via the Arrow-vectorized runner — never
+    # row-at-a-time pickling
+    arrow_ok = ["simhash_dedup", "extjson_decode"]
+    for name in arrow_ok:
+        plan = _plan(qs[name](spark, SF))
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" in plan, name
 
 
 def test_whole_stage_codegen_in_final_state(spark):
