@@ -73,11 +73,16 @@ def bench_cdc(spark, n_events: int, results: dict, n_batches: int = 8, warmup: i
         mode="mor",
         compact_after_deltas=100,
         write_metrics=False,
-        # >1 splits each bucket's delta write across salt files — the
-        # hot bucket (30% of rows) stops being a single straggler task
-        # and per-task sort/write memory stays bounded. Measured at
-        # 32M events: +38% at 32 cores, +50% at 2 cores vs fpb=1.
-        files_per_bucket=int(os.environ.get("SPARK_GRAFT_FPB", "8")),
+        # "auto" (default) sizes the write-layout salt from batch input
+        # bytes; an integer forces a fixed (bucket, salt) layout; "none"
+        # uses the AQE REBALANCE layout. For experiments.
+        files_per_bucket=(
+            None
+            if os.environ.get("SPARK_GRAFT_FPB") == "none"
+            else int(os.environ["SPARK_GRAFT_FPB"])
+            if os.environ.get("SPARK_GRAFT_FPB")
+            else "auto"
+        ),
     )
     apply_sec = time.time() - t0
     total = sum(r.received for r in res)

@@ -46,7 +46,7 @@ def run_stream(
     available_now: bool = True,
     stream_name: str = "cdc",
     mode: str = "cow",
-    files_per_bucket: int = 8,
+    files_per_bucket: int | str | None = "auto",
 ):
     """Start the CDC streaming query; returns the StreamingQuery.
 
