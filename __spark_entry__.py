@@ -324,6 +324,41 @@ SELECT seq % 8 AS batch_id, op, COUNT(*) AS n, COUNT(DISTINCT repo) AS n_repos
 FROM feed GROUP BY 1, 2
 """
 
+def q_decimal_generated_column(spark, sf_dir):
+    """Decimal arithmetic parity (§2.5; the reference fixture uses
+    DECIMAL(10,2) columns and a generated ``quantity*unit_price`` column
+    — ``examples/init-scripts/mysql-source-init.sql:13,27,61``): cast to
+    decimal, compute the generated column, roll up per group."""
+    li = _load(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(12,2)")
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    one = F.lit("1.00").cast("decimal(12,2)")
+    return (
+        li.where(F.col("l_shipdate") < "1998-09-01")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(qty).cast("double"), 2).alias("sum_qty"),
+            F.round(F.sum(price).cast("double"), 2).alias("sum_base_price"),
+            F.round(F.sum(price * (one - disc)).cast("double"), 2).alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+SQL_decimal_generated_column = """
+SELECT l_returnflag, l_linestatus,
+       round(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_qty,
+       round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_base_price,
+       round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                     * (CAST('1.00' AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE), 2) AS sum_disc_price,
+       COUNT(*) AS n
+FROM lineitem
+WHERE l_shipdate < TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
 def q_transform_engine_chain(spark, sf_dir):
     """The real rule engine end-to-end (T1–T9): a 4-rule priority chain
     — kazaam extract+delete, a conditional set (typed gte), a default
@@ -893,8 +928,11 @@ def q_minhash_lsh(spark, sf_dir):
     from replicator_spark.ops.dedup_text import minhash_lsh_candidates, minhash_signatures
 
     docs = _load(spark, sf_dir, "documents")
+    # 64 hashes / 16 bands → 4 rows per band: collision prob s^4 — r=2
+    # banding admitted ~23% of ALL pairs as candidates on this
+    # template-heavy corpus (LSH selectivity collapses at shallow rows)
     return minhash_lsh_candidates(
-        minhash_signatures(docs, num_hashes=32), bands=16
+        minhash_signatures(docs, num_hashes=64), bands=16
     )
 
 
@@ -990,6 +1028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transform_tiering": q_transform_tiering,
         "lookup_join_enrich": q_lookup_join_enrich,
         "metrics_rollup": q_metrics_rollup,
+        "decimal_generated_column": q_decimal_generated_column,
         "transform_engine_chain": q_transform_engine_chain,
         "extjson_decode": q_extjson_decode,
         "filter_regex_in": q_filter_regex_in,
@@ -1034,6 +1073,7 @@ def oracle_sql() -> dict[str, str]:
         "transform_tiering": SQL_transform_tiering,
         "lookup_join_enrich": SQL_lookup_join_enrich,
         "metrics_rollup": SQL_metrics_rollup,
+        "decimal_generated_column": SQL_decimal_generated_column,
         "transform_engine_chain": SQL_transform_engine_chain,
         "extjson_decode": SQL_extjson_decode,
         "filter_regex_in": SQL_filter_regex_in,

@@ -54,15 +54,60 @@ def minhash_signatures(
     shingle_n: int = 5,
     num_hashes: int = 64,
     seed: int = 42,
+    impl: str = "arrow",
 ) -> DataFrame:
     """id → array<long> of ``num_hashes`` min-hash values.
 
-    Permutation hashing: h_i(s) = xxhash64(s, seed+i); the signature
-    element i is min over shingles — all computed with one
-    transform/array_min chain per hash, fully vectorized.
+    * ``impl="arrow"`` (default): shingles are hashed ONCE in the JVM
+      (one transform pass of xxhash64), then the k permutations are
+      affine maps h_i(x) = a_i·x + b_i over uint64 (universal-hash
+      family) applied in a single numpy kernel — k multiplies + segmented
+      min-reduceat over the Arrow batch's flattened hashes. O(S + k·S)
+      word ops instead of k string-hash passes.
+    * ``impl="jvm"``: k independent xxhash64 passes
+      (h_i(s) = xxhash64(s, seed+i)) with array_min — zero Python, but
+      each pass re-hashes every shingle string.
     """
     sh = shingle_expr(text_col, shingle_n).alias("_sh")
     base = df.select(F.col(id_col), sh)
+
+    if impl == "arrow":
+        from pyspark.sql.functions import pandas_udf
+
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        # odd multipliers → bijections mod 2^64
+        a_ = (rng.integers(0, 2**63, size=num_hashes, dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
+        b_ = rng.integers(0, 2**63, size=num_hashes, dtype=np.uint64)
+
+        @pandas_udf("array<long>")
+        def _sig_pd(sh_hashes: pd.Series) -> pd.Series:
+            n = len(sh_hashes)
+            lens = np.fromiter((len(x) for x in sh_hashes), dtype=np.int64, count=n)
+            total = int(lens.sum())
+            flat = np.empty(total, dtype=np.int64)
+            pos = 0
+            for x in sh_hashes:
+                m = len(x)
+                flat[pos : pos + m] = x
+                pos += m
+            u = flat.view(np.uint64)
+            offsets = np.zeros(n, dtype=np.int64)
+            if n > 1:
+                np.cumsum(lens[:-1], out=offsets[1:])
+            nonempty = lens > 0
+            seg = offsets[nonempty]
+            out = np.full((n, len(a_)), np.iinfo(np.int64).max, dtype=np.int64)
+            if nonempty.any():
+                with np.errstate(over="ignore"):
+                    for i in range(len(a_)):
+                        perm = (u * a_[i] + b_[i]).view(np.int64)
+                        out[nonempty, i] = np.minimum.reduceat(perm, seg)
+            return pd.Series(list(out))
+
+        h0 = F.transform(F.col("_sh"), lambda s: F.xxhash64(s, F.lit(seed)))
+        return base.select(id_col, _sig_pd(h0).alias("signature"))
 
     def _minhash(i: int):
         # NB: close over the seed column; an extra lambda param (even

@@ -67,8 +67,9 @@ def test_no_python_eval_in_cdc_queries(spark):
     jvm_only = [
         "cdc_final_state", "cdc_lww_latest", "cdc_op_stats",
         "transform_shift_rename", "lookup_join_enrich", "knn_bruteforce",
-        "text_quality_ops", "lang_id", "minhash_lsh",
+        "text_quality_ops", "lang_id",
         "transform_engine_chain", "filter_regex_in",
+        "decimal_generated_column",
     ]
     qs = entry.queries()
     for name in jvm_only:
@@ -77,7 +78,7 @@ def test_no_python_eval_in_cdc_queries(spark):
         assert "ArrowEvalPython" not in plan, name
     # Python is allowed ONLY via the Arrow-vectorized runner — never
     # row-at-a-time pickling
-    arrow_ok = ["simhash_dedup", "extjson_decode"]
+    arrow_ok = ["simhash_dedup", "extjson_decode", "minhash_lsh"]
     for name in arrow_ok:
         plan = _plan(qs[name](spark, SF))
         assert "BatchEvalPython" not in plan, name
