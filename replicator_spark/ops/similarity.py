@@ -17,6 +17,7 @@ which the correctness harness needs.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -150,29 +151,37 @@ def cosine_near_dup_blocked(
     return pairs.mapInPandas(_kernel, schema=out_schema)
 
 
-def _lsh_key(vec_col, dim: int, bits: int, table: int, seed: int):
-    """Sign-projection hash: hyperplane h_{t,b} has components
-    derived from xxhash64(t, b, j) mapped to ±1 — deterministic, no
-    stored model, cheap to compute in codegen."""
-    keys = []
-    for b in range(bits):
-        # close over literals — extra lambda params would change the
-        # higher-order function's arity dispatch
-        seed_l, t_l, b_l = F.lit(seed), F.lit(table), F.lit(b)
-        comp = F.aggregate(
-            F.zip_with(
-                vec_col,
-                F.sequence(F.lit(0), F.lit(dim - 1)),
-                lambda x, j: x
-                * F.when(
-                    F.pmod(F.xxhash64(seed_l, t_l, b_l, j), 2) == 0, F.lit(1.0)
-                ).otherwise(F.lit(-1.0)),
-            ),
-            F.lit(0.0),
-            lambda s, x: s + x,
-        )
-        keys.append(F.when(comp > 0, F.lit(1)).otherwise(F.lit(0)).cast("string"))
-    return F.concat_ws("", *keys)
+def _lsh_keys_udf(dim: int, bits: int, num_tables: int, seed: int):
+    """All tables' sign-projection keys in ONE vectorized kernel.
+
+    The hyperplane matrix (dim × bits·tables, ±1 entries) is derived
+    deterministically from the seed; each Arrow batch of vectors is one
+    matmul against it, signs packed into per-table integer bucket keys.
+    Replaces bits·tables interpreted ``aggregate`` folds per row
+    (hash_bits=4 × tables=6 × dim lambda dispatches each) with BLAS.
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    rng = np.random.default_rng(seed)
+    planes = rng.choice([-1.0, 1.0], size=(dim, bits * num_tables))
+    weights = np.tile(1 << np.arange(bits, dtype=np.int64), num_tables)
+    table_of = np.repeat(np.arange(num_tables, dtype=np.int64), bits)
+
+    @pandas_udf("array<long>")
+    def _keys(vecs: pd.Series) -> pd.Series:
+        m = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        if m.size == 0:
+            return pd.Series([], dtype=object)
+        signs = (m @ planes) > 0  # (n, bits·tables)
+        packed = np.zeros((len(m), num_tables), dtype=np.int64)
+        for t in range(num_tables):
+            sel = table_of == t
+            # table id in the high bits so keys never collide across tables
+            packed[:, t] = (signs[:, sel] * weights[sel]).sum(axis=1) | (t << bits)
+        return pd.Series(list(packed))
+
+    return _keys
 
 
 def lsh_bucket_knn(
@@ -191,34 +200,15 @@ def lsh_bucket_knn(
     """Approximate cosine top-k: join query and corpus rows that share
     an LSH bucket in ANY of ``num_tables`` tables, rank exact cosine
     within the candidate set."""
+    keys = _lsh_keys_udf(dim, hash_bits, num_tables, seed)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
     )
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
     )
-    c_k = c.select(
-        "*",
-        F.explode(
-            F.array(
-                *[
-                    F.concat_ws("#", F.lit(str(t)), _lsh_key(F.col("cv"), dim, hash_bits, t, seed))
-                    for t in range(num_tables)
-                ]
-            )
-        ).alias("bucket"),
-    )
-    q_k = q.select(
-        "*",
-        F.explode(
-            F.array(
-                *[
-                    F.concat_ws("#", F.lit(str(t)), _lsh_key(F.col("qv"), dim, hash_bits, t, seed))
-                    for t in range(num_tables)
-                ]
-            )
-        ).alias("bucket"),
-    )
+    c_k = c.select("*", F.explode(keys(F.col("cv"))).alias("bucket"))
+    q_k = q.select("*", F.explode(keys(F.col("qv"))).alias("bucket"))
     cand = (
         q_k.join(c_k, "bucket")
         .where(F.col("neighbor_id") != F.col("query_id"))
