@@ -86,3 +86,55 @@ def test_mor_tombstone_expiry(spark, feed, tmp_path):
     assert _sha_state(table) == live_before
     assert table.read(include_deleted=True).count() < n_with_tombstones
     assert table.read(include_deleted=True).count() == len(live_before)
+
+
+def test_torn_write_recovery(spark, feed, tmp_path):
+    """Crash AFTER delta data files are written but BEFORE the snapshot
+    commit (the torn state the two-step commit permits): the version
+    hint still points at the old snapshot, so the orphan data dir is
+    invisible to readers, and the re-driven batch overwrites it —
+    no duplicate, no loss."""
+    import os
+    import shutil
+
+    from .oracle import content_sha, sequential_apply
+
+    root = str(tmp_path / "t")
+    table = LakeTable(spark, root)
+    table.create(REPOS_SCHEMA, num_buckets=8)
+    batches = sorted(
+        int(d.split("=")[1]) for d in os.listdir(feed) if d.startswith("batch_id=")
+    )
+    # apply all but the last batch normally
+    replay_feed(spark, feed, table, mode="mor", batches=batches[:-1], write_metrics=False)
+    v_before = table._snap().version
+
+    # simulate the torn write of the last batch: data files for the
+    # next version exist on disk, snapshot was never committed
+    last = batches[-1]
+    orphan_dir = f"{root}/data/v{v_before + 1}"
+    os.makedirs(orphan_dir, exist_ok=True)
+    os.makedirs(f"{orphan_dir}/repo_bucket=0", exist_ok=True)
+    with open(f"{orphan_dir}/repo_bucket=0/part-torn.parquet", "w") as fh:
+        fh.write("garbage — must be overwritten, never read")
+
+    # reader sees only the committed snapshot
+    assert table._snap().version == v_before
+    live_before = table.read().count()
+    assert live_before > 0
+
+    # the batch is re-driven (crash recovery): apply normally
+    replay_feed(spark, feed, table, mode="mor", batches=[last], write_metrics=False)
+    assert table._snap().version == v_before + 1
+    # the overwrite-mode write must have replaced the torn dir entirely
+    assert not os.path.exists(f"{orphan_dir}/repo_bucket=0/part-torn.parquet")
+
+    # final state equals the sequential oracle over the whole feed
+    events = [r.asDict(recursive=True) for r in spark.read.parquet(feed).collect()]
+    got = {
+        (r["repo"], r["path"], r["commit"]): hashlib.sha256(
+            (r["content"] or "").encode()
+        ).hexdigest()
+        for r in table.read().collect()
+    }
+    assert got == content_sha(sequential_apply(events))
