@@ -30,7 +30,7 @@ class JobConfig:
     mode: str = "mor"  # cow | mor
     streaming: bool = True
     num_buckets: int = 32
-    files_per_bucket: int = 1
+    files_per_bucket: int | str | None = "auto"
     compact_after_deltas: int = 8
     max_files_per_trigger: int | None = None
     transform_rules: list[dict] = field(default_factory=list)
@@ -121,13 +121,27 @@ def cmd_run(cfg: JobConfig) -> int:
     return 0
 
 
+def cmd_metrics(table_root: str) -> int:
+    """Print cumulative counters in Prometheus exposition format — the
+    reference's ``/metrics`` endpoint (``pkg/api/metrics.go``) as a CLI."""
+    from .metrics import to_prometheus_text
+
+    print(to_prometheus_text(table_root), end="")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="replicator_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
     for c in ("run", "validate", "show-config"):
         sp = sub.add_parser(c)
         sp.add_argument("--config", required=True)
+    mp = sub.add_parser("metrics")
+    mp.add_argument("--table-root", required=True)
     args = p.parse_args(argv)
+
+    if args.cmd == "metrics":
+        return cmd_metrics(args.table_root)
 
     cfg = load_config(args.config)
     errs = cfg.validate()

@@ -69,3 +69,47 @@ def read_metrics(spark, table_root: str):
 
 def read_lineage(spark, table_root: str):
     return spark.read.parquet(os.path.join(table_root, "_lineage"))
+
+
+def to_prometheus_text(table_root: str) -> str:
+    """Render cumulative counters in Prometheus exposition format — the
+    observable replacement for the reference's ``/metrics`` endpoint
+    (``pkg/api/metrics.go``; counter names match
+    ``pkg/streams/stream.go:25-30``, ``pkg/replicator/replicator.go:23-28``
+    modulo the reference's 'recieved' typo, which we do not reproduce).
+    Driver-side pyarrow scan of the metrics table — no Spark job."""
+    import pyarrow.dataset as ds
+
+    path = os.path.join(table_root, "_metrics")
+    totals = {
+        "received": 0, "applied": 0, "skipped_stale": 0,
+        "deduped": 0, "deleted": 0,
+    }
+    n_batches = 0
+    if os.path.isdir(path):
+        t = ds.dataset(path).to_table(columns=list(totals))
+        n_batches = t.num_rows
+        for c in totals:
+            s = t.column(c).to_pylist()
+            totals[c] = sum(v for v in s if v is not None)
+    lines = [
+        "# HELP replicator_received_records_total Events received across batches",
+        "# TYPE replicator_received_records_total counter",
+        f"replicator_received_records_total {totals['received']}",
+        "# HELP replicator_processed_records_total Events applied to the lake table",
+        "# TYPE replicator_processed_records_total counter",
+        f"replicator_processed_records_total {totals['applied']}",
+        "# HELP replicator_skipped_records_total LWW-stale events rejected",
+        "# TYPE replicator_skipped_records_total counter",
+        f"replicator_skipped_records_total {totals['skipped_stale']}",
+        "# HELP replicator_deduped_records_total Redelivered/superseded duplicates collapsed",
+        "# TYPE replicator_deduped_records_total counter",
+        f"replicator_deduped_records_total {totals['deduped']}",
+        "# HELP replicator_deleted_records_total Delete events applied",
+        "# TYPE replicator_deleted_records_total counter",
+        f"replicator_deleted_records_total {totals['deleted']}",
+        "# HELP replicator_batches_total Micro-batches committed",
+        "# TYPE replicator_batches_total counter",
+        f"replicator_batches_total {n_batches}",
+    ]
+    return "\n".join(lines) + "\n"

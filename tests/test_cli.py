@@ -57,3 +57,23 @@ def test_run_batch_job(spark, tmp_path, capsys):
     assert cli.main(["run", "--config", cfg]) == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["live_rows"] > 0 and out["version"] == 2
+
+
+def test_prometheus_text_format(spark, tmp_path):
+    """Counters render in Prometheus exposition format and add up."""
+    from replicator_spark.feedgen import gen_changes, write_feed
+    from replicator_spark.laketable import LakeTable
+    from replicator_spark.metrics import to_prometheus_text
+    from replicator_spark.model import REPOS_SCHEMA
+    from replicator_spark.pipeline import replay_feed
+
+    feed, root = str(tmp_path / "feed"), str(tmp_path / "table")
+    write_feed(gen_changes(spark, 800, n_batches=2), feed)
+    t = LakeTable(spark, root)
+    t.create(REPOS_SCHEMA, num_buckets=4)
+    res = replay_feed(spark, feed, t, mode="mor")
+    text = to_prometheus_text(root)
+    assert "# TYPE replicator_received_records_total counter" in text
+    received = sum(r.received for r in res)
+    assert f"replicator_received_records_total {received}" in text
+    assert f"replicator_batches_total {len(res)}" in text

@@ -10,7 +10,6 @@ example (examples kept small — Spark latency dominates).
 
 import json
 
-import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import types as T
@@ -27,7 +26,7 @@ COMMITS = ["c1", "c2"]
 
 event_st = st.fixed_dictionaries(
     {
-        "op": st.sampled_from(["insert", "update", "delete"]),
+        "op": st.sampled_from(["insert", "update", "delete", "replace"]),
         "repo": st.sampled_from(REPOS),
         "path": st.sampled_from(PATHS),
         "commit": st.sampled_from(COMMITS),
