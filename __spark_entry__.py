@@ -959,6 +959,18 @@ def q_ann_lsh(spark, sf_dir):
     )
 
 
+def q_ann_ivf(spark, sf_dir):
+    """IVF-flat approximate nearest neighbors: KMeans coarse quantizer,
+    queries probe n_probe nearest cells (the trained counterpart of
+    ann_lsh). Clustering is data-adaptive ⇒ rows-only check."""
+    from replicator_spark.ops.similarity import ivf_knn
+
+    emb = _load(spark, sf_dir, "embeddings")
+    return ivf_knn(
+        emb, emb.where(F.col("vec_id") < 5), k=3, n_centroids=16, n_probe=4
+    )
+
+
 def q_media_features(spark, sf_dir):
     """Multimodal plumbing: synthetic media table → mapInPandas feature
     extraction (stub codec, real Arrow batch path)."""
@@ -1053,6 +1065,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": q_minhash_lsh,
         "simhash_dedup": q_simhash_dedup,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "media_features": q_media_features,
         "frame_sample": q_frame_sample,
         "cdc_replay_roundtrip": q_cdc_replay_roundtrip,

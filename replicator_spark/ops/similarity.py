@@ -10,9 +10,11 @@
   variants), turning O(Q×N) into O(Q×N/2^bits) per table. Recall is
   tunable via ``num_tables``/``hash_bits``.
 
-An IVF variant would cluster with KMeans (spark.ml) and probe nearest
-centroids; the LSH form avoids a training pass and stays deterministic,
-which the correctness harness needs.
+* ivf_knn — the trained scale path: KMeans (spark.ml) coarse quantizer;
+  corpus rows are assigned to their nearest centroid cell, queries probe
+  the ``n_probe`` nearest cells only — O(Q·N·probe/cells) instead of
+  O(Q·N), the standard IVF-flat layout. LSH needs no training pass and
+  is fully deterministic; IVF adapts to the data distribution.
 """
 
 from __future__ import annotations
@@ -213,6 +215,79 @@ def lsh_bucket_knn(
         q_k.join(c_k, "bucket")
         .where(F.col("neighbor_id") != F.col("query_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    cos = _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))
+    if round_to is not None:
+        cos = F.round(cos, round_to)
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        cand.withColumn("cos", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def ivf_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    round_to: int | None = 4,
+) -> DataFrame:
+    """Approximate cosine top-k via an IVF-flat index.
+
+    Train a KMeans coarse quantizer (spark.ml — one pass over the
+    corpus, tiny model), assign each corpus row to its centroid cell,
+    and have each query probe only its ``n_probe`` nearest cells —
+    the candidate join is an equi-join on cell id, exactly like the LSH
+    form but with data-adaptive partitions. Query→cell routing runs as
+    one Arrow-batch matmul against the centroid matrix (driver-side
+    model, executor-side kernel).
+    """
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql.functions import pandas_udf
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    )
+
+    train = c.withColumn("_fv", array_to_vector(F.col("cv")))
+    model = KMeans(
+        k=n_centroids, seed=seed, featuresCol="_fv", predictionCol="_cell"
+    ).fit(train)
+    assigned = model.transform(train).select("neighbor_id", "cv", "_cell")
+    cents = np.asarray([np.asarray(ct) for ct in model.clusterCenters()])
+
+    probe = min(n_probe, len(cents))
+
+    @pandas_udf("array<int>")
+    def _probe_cells(vs: pd.Series) -> pd.Series:
+        m = np.asarray([np.asarray(v, dtype=np.float64) for v in vs])
+        if m.size == 0:
+            return pd.Series([], dtype=object)
+        # squared euclidean to every centroid: |x|^2 - 2x·c + |c|^2
+        d = (
+            (m * m).sum(axis=1, keepdims=True)
+            - 2.0 * (m @ cents.T)
+            + (cents * cents).sum(axis=1)
+        )
+        idx = np.argsort(d, axis=1)[:, :probe].astype(np.int32)
+        return pd.Series(list(idx))
+
+    q_k = q.withColumn("_cell", F.explode(_probe_cells(F.col("qv"))))
+    cand = q_k.join(assigned, "_cell").where(
+        F.col("neighbor_id") != F.col("query_id")
     )
     cos = _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))
     if round_to is not None:

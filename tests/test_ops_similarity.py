@@ -91,3 +91,18 @@ def test_lsh_deterministic(spark, vecs):
     r1 = lsh_bucket_knn(df, q, dim=DIM, k=3).collect()
     r2 = lsh_bucket_knn(df, q, dim=DIM, k=3).collect()
     assert r1 == r2
+
+
+def test_ivf_recall_and_twin(spark, vecs):
+    from replicator_spark.ops.similarity import ivf_knn
+
+    df, base = vecs
+    queries = df.where(F.col("vec_id") < 5)
+    exact = brute_force_knn(df, queries, k=5)
+    approx = ivf_knn(df, queries, k=5, n_centroids=6, n_probe=3)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"recall {recall}"
+    # the planted near-identical twin shares a cell at any sane quantizer
+    assert (0, 1) in a
