@@ -115,6 +115,7 @@ def cmd_run(cfg: JobConfig) -> int:
             mode=cfg.mode,
             files_per_bucket=cfg.files_per_bucket,
             compact_after_deltas=cfg.compact_after_deltas,
+            stream_name=cfg.name,  # namespace the ledger per stream
         )
     n = table.read().count()
     print(json.dumps({"job": cfg.name, "live_rows": n, "version": table._snap().version}))

@@ -242,10 +242,18 @@ def replay_feed(
     files_per_bucket: int | str | None = "auto",
     compact_after_deltas: int = 8,
     write_metrics: bool = True,
+    stream_name: str = "feed",
 ) -> list[BatchResult]:
     """Batch-mode replay of a partitioned feed directory, one MERGE per
     batch partition — semantically identical to the streaming path
-    (streaming.py) with Trigger.AvailableNow."""
+    (streaming.py) with Trigger.AvailableNow.
+
+    ``stream_name`` namespaces batch keys in the idempotence ledger —
+    REQUIRED to be distinct when several feeds (the reference's
+    multi-source aggregation, ``examples/configs/
+    multi-source-aggregation.yaml``) replay into one table; otherwise
+    the second stream's batches alias the first's and are skipped as
+    replays."""
     import os
 
     if batches is None:
@@ -261,7 +269,7 @@ def replay_feed(
             apply_batch(
                 table,
                 bdf,
-                batch_key=f"feed-{b}",
+                batch_key=f"{stream_name}-{b}",
                 payload_schema=payload_schema,
                 mode=mode,
                 files_per_bucket=files_per_bucket,
