@@ -677,18 +677,25 @@ FROM documents GROUP BY 1
 
 
 def q_text_token_count(spark, sf_dir):
-    """Whitespace token counting + char length."""
+    """Token counting: whitespace tokens, char length, and a BPE-ish
+    GPT-2-pretokenizer regex count (ops.text.BPE_PRETOKEN_RE)."""
+    from replicator_spark.ops.text import BPE_PRETOKEN_RE
+
     docs = _load(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
         F.length("text").alias("len_chars"),
+        F.size(F.regexp_extract_all("text", F.lit(BPE_PRETOKEN_RE), 0)).alias(
+            "bpe_pretokens"
+        ),
     )
 
 
 SQL_text_token_count = r"""
 SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS n_tokens,
-       length(text) AS len_chars
+       length(text) AS len_chars,
+       len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+')) AS bpe_pretokens
 FROM documents
 """
 

@@ -43,19 +43,29 @@ def detect_lang(
     )
 
 
+# GPT-2-style pretokenizer: contraction suffixes, letter runs, digit
+# runs, punctuation runs — each optionally preceded by one space. The
+# count of these pretokens is the standard cheap lower bound on BPE
+# token count (real BPE only ever splits within a pretoken).
+BPE_PRETOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
+
+
 def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Whitespace tokens + a BPE-ish subword estimate (split on
-    non-alphanumerics and 4-char chunks)."""
+    """Whitespace tokens + BPE-ish counts: a regex pretokenizer count
+    (GPT-2 pattern) and a chars/4 estimate."""
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     n_tokens = F.size(toks)
     n_chars = F.length(F.col(text_col))
-    # crude BPE-token estimate: ~1 token per 4 chars of word content
+    bpe_pretokens = F.size(
+        F.regexp_extract_all(F.col(text_col), F.lit(BPE_PRETOKEN_RE), 0)
+    )
     word_chars = F.length(F.regexp_replace(F.col(text_col), r"\s+", ""))
     bpe_est = F.ceil(word_chars / 4).cast("long")
     return df.select(
         id_col,
         n_tokens.alias("n_tokens"),
         n_chars.alias("n_chars_measured"),
+        bpe_pretokens.alias("bpe_pretokens"),
         bpe_est.alias("bpe_tokens_est"),
         F.round(word_chars / F.greatest(n_tokens, F.lit(1)), 4).alias("mean_token_len"),
     )
