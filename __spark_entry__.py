@@ -1004,6 +1004,7 @@ def q_cdc_replay_roundtrip(spark, sf_dir):
     import shutil
 
     from replicator_spark.feedgen import gen_changes, write_feed
+    from replicator_spark.functions.hashing import sha256_arrow
     from replicator_spark.laketable import LakeTable
     from replicator_spark.model import REPOS_SCHEMA
     from replicator_spark.pipeline import replay_feed
@@ -1019,7 +1020,13 @@ def q_cdc_replay_roundtrip(spark, sf_dir):
     replay_feed(spark, feed, table, mode="mor", write_metrics=False)
     table.compact()
     return table.read().select(
-        "repo", "path", "commit", "lang", F.sha2("content", 256).alias("content_sha")
+        "repo",
+        "path",
+        "commit",
+        "lang",
+        # the mandated vectorized Arrow sha256 kernel (identical output
+        # to F.sha2; cross-equality tested in test_sources.py)
+        sha256_arrow(F.col("content")).alias("content_sha"),
     )
 
 
