@@ -36,6 +36,10 @@ class Snapshot:
     committed_batches: dict[str, int] = field(default_factory=dict)  # batch_key -> version
     props: dict[str, Any] = field(default_factory=dict)
     committed_at_ms: int = 0
+    # MERGE key columns, fixed at create time and carried by every
+    # snapshot so read()/compact() resolve LWW on the same keys merge()
+    # used (None in pre-upgrade snapshots → model.KEY_COLS).
+    key_cols: list[str] | None = None
 
     def to_json(self) -> str:
         return json.dumps(self.__dict__, sort_keys=True)

@@ -94,18 +94,34 @@ class LakeTable:
         self.root = root
 
     # -- DDL -----------------------------------------------------------
-    def create(self, schema: T.StructType, num_buckets: int = 32) -> None:
-        """CREATE TABLE — snapshot 0, no data files."""
+    def create(
+        self,
+        schema: T.StructType,
+        num_buckets: int = 32,
+        key_cols: Sequence[str] = tuple(KEY_COLS),
+    ) -> None:
+        """CREATE TABLE — snapshot 0, no data files. ``key_cols`` is the
+        MERGE key, fixed for the table's lifetime (persisted in every
+        snapshot; read/compact resolve LWW on it)."""
         if cl.current_version(self.root) is not None:
             raise ValueError(f"table already exists at {self.root}")
+        names = {f.name for f in schema.fields}
+        missing = [k for k in key_cols if k not in names]
+        if missing:
+            raise ValueError(f"key columns not in schema: {missing}")
         snap = cl.Snapshot(
             version=0,
             parent=None,
             schema_json=schema.json(),
             num_buckets=num_buckets,
             files={},
+            key_cols=list(key_cols),
         )
         cl.commit_snapshot(self.root, snap)
+
+    def key_columns(self, snap: cl.Snapshot | None = None) -> list[str]:
+        snap = snap or self._snap()
+        return list(snap.key_cols or KEY_COLS)
 
     def exists(self) -> bool:
         return cl.current_version(self.root) is not None
@@ -131,6 +147,7 @@ class LakeTable:
                 files={},
                 committed_batches=dict(snap.committed_batches),
                 props={"truncated": True, "deltas": {}},
+                key_cols=snap.key_cols,
             ),
         )
 
@@ -209,7 +226,8 @@ class LakeTable:
         df = self._read_files(snap, base_files + delta_files)
         if delta_files:
             # per-key LWW resolution across base + deltas (mor read path)
-            df = lww_latest(df, KEY_COLS, LAST_SEQ_COL, tiebreak_col=None)
+            # on the table's persisted merge key — not a hardcoded default
+            df = lww_latest(df, self.key_columns(snap), LAST_SEQ_COL, tiebreak_col=None)
         if not include_deleted:
             df = df.where(~F.coalesce(F.col("_deleted"), F.lit(False)))
         if not include_engine_cols:
@@ -223,7 +241,7 @@ class LakeTable:
         batch_key: str,
         *,
         mode: str = "cow",
-        key_cols: Sequence[str] = tuple(KEY_COLS),
+        key_cols: Sequence[str] | None = None,
         seq_col: str = "seq",
         op_col: str = "op",
         files_per_bucket: int | None = None,
@@ -243,7 +261,14 @@ class LakeTable:
                 batch_key, snap.committed_batches[batch_key], replayed=True, mode=mode
             )
 
-        key_cols = list(key_cols)
+        table_keys = self.key_columns(snap)
+        if key_cols is not None and list(key_cols) != table_keys:
+            # read()/compact() resolve LWW on the persisted key — a merge
+            # on a different key set would silently corrupt resolution
+            raise ValueError(
+                f"merge key_cols {list(key_cols)} != table key {table_keys}"
+            )
+        key_cols = table_keys
         logical = self.schema()
         payload_in_table = [f.name for f in logical.fields if f.name not in key_cols]
         batch_payload = [
@@ -258,7 +283,7 @@ class LakeTable:
         all_payload = payload_in_table + new_cols
 
         nb = snap.num_buckets
-        src = batch.withColumn(BUCKET_COL, bucket_expr(nb))
+        src = batch.withColumn(BUCKET_COL, bucket_expr(nb, key_cols[0]))
         # columns the table has that this batch lacks (full-image
         # replace semantics: absent → null, see module docstring)
         for c in payload_in_table:
@@ -298,6 +323,7 @@ class LakeTable:
             files=files,
             committed_batches=committed,
             props={**(props or {}), "batch_key": batch_key, "deltas": deltas},
+            key_cols=snap.key_cols,
         )
         cl.commit_snapshot(self.root, nsnap)
         stats.version = new_version
@@ -349,9 +375,9 @@ class LakeTable:
             F.when(win, src_del)
             .otherwise(F.coalesce(F.col("t._deleted"), F.lit(False)))
             .alias("_deleted"),
-            F.coalesce(F.col(f"s.{BUCKET_COL}"), bucket_expr(snap.num_buckets, "t.repo")).alias(
-                BUCKET_COL
-            ),
+            F.coalesce(
+                F.col(f"s.{BUCKET_COL}"), bucket_expr(snap.num_buckets, f"t.{key_cols[0]}")
+            ).alias(BUCKET_COL),
         ]
         result = j.select(*proj)
 
@@ -439,11 +465,12 @@ class LakeTable:
         )
         if not todo:
             return snap.version
+        table_keys = self.key_columns(snap)
         resolved = self.read(
             buckets=[int(b) for b in todo],
             include_deleted=True,
             include_engine_cols=True,
-        ).withColumn(BUCKET_COL, bucket_expr(snap.num_buckets))
+        ).withColumn(BUCKET_COL, bucket_expr(snap.num_buckets, table_keys[0]))
         if expire_tombstones_below_seq is not None:
             resolved = resolved.where(
                 ~F.col("_deleted")
@@ -452,7 +479,7 @@ class LakeTable:
         new_version = snap.version + 1
         out_dir = f"{self.root}/data/v{new_version}"
         self._write_buckets(
-            resolved, out_dir, [int(b) for b in todo], KEY_COLS, files_per_bucket
+            resolved, out_dir, [int(b) for b in todo], table_keys, files_per_bucket
         )
         files = dict(snap.files)
         new_deltas = {b: list(v) for b, v in deltas.items()}
@@ -468,6 +495,7 @@ class LakeTable:
             files=files,
             committed_batches=dict(snap.committed_batches),
             props={"compaction": True, "deltas": new_deltas},
+            key_cols=snap.key_cols,
         )
         cl.commit_snapshot(self.root, nsnap)
         return new_version

@@ -76,7 +76,12 @@ def normalize(
     clobbered, ``pkg/replicator/service.go:493-501``); payload columns
     from ``from_json(doc)``, excluding any field shadowing a key.
     """
-    payload_cols = [f.name for f in payload_schema.fields if f.name not in key_cols]
+    # Protect the engine columns too, not just keys: a payload field
+    # named seq/op/event_id would otherwise duplicate a select column and
+    # poison the downstream LWW/MERGE ordering (the reference protects
+    # the same critical tuple — service.go:493-501).
+    reserved = set(key_cols) | {"event_id", "seq", "op"}
+    payload_cols = [f.name for f in payload_schema.fields if f.name not in reserved]
     out = df.withColumn("_p", F.from_json(F.col("doc"), payload_schema))
     sel = [F.col("event_id"), F.col("seq"), F.col("op")]
     sel += [F.col(f"key.{k}").alias(k) for k in key_cols]
@@ -164,11 +169,18 @@ def apply_batch(
         files_per_bucket = auto_files_per_bucket(raw_batch)
     if payload_schema is None:
         payload_schema = infer_payload_schema(raw_batch)
-    flat = normalize(raw_batch, payload_schema)
+    key_cols = table.key_columns()
+    flat = normalize(raw_batch, payload_schema, key_cols=key_cols)
     if transform_engine is not None:
         flat, dead = transform_engine.apply(flat)
-        if dead is not None:
-            dead.write.mode("append").parquet(f"{table.root}/_dead_letter")
+        if dead is not None and batch_key not in table.committed_batches():
+            # Idempotent DLQ: per-batch directory + overwrite, and no
+            # write at all when the ledger already has the batch — a
+            # redelivered micro-batch must not duplicate dead letters
+            # (exactly-once covers the DLQ too).
+            dead.write.mode("overwrite").parquet(
+                f"{table.root}/_dead_letter/batch_key={batch_key}"
+            )
 
     obs_in = Observation(f"in-{batch_key}")
     flat = flat.observe(
@@ -181,7 +193,7 @@ def apply_batch(
     # identical (key, seq), so the per-key LWW window already collapses
     # them (tiebreak on event_id keeps it deterministic) — one shuffle
     # instead of two. dedup.dedup_exact remains for standalone use.
-    prepared = lww_latest(flat, KEY_COLS, "seq")
+    prepared = lww_latest(flat, key_cols, "seq")
 
     stats = table.merge(
         prepared,

@@ -135,13 +135,20 @@ def from_mongo_events(
         *[c for c in ("seq", "event_id", "ts") if c in df.columns],
     )
     if current_state is not None:
+        # Scale-safe lookup: the table's live state can be arbitrarily
+        # large, so it must NEVER be broadcast wholesale (the r01 form
+        # OOMed executors at any real scale). Instead broadcast the
+        # *batch's* keys — bounded by micro-batch size — into a semi-join
+        # that prunes the state map-side, then left-join the pruned state
+        # (now ≤ batch cardinality; AQE picks broadcast when it fits).
+        state = current_state.select(
+            F.struct(*[F.col(k) for k in key_cols]).alias("key"),
+            F.col("doc_json").alias("_fallback_doc"),
+        )
+        batch_keys = out.select("key").distinct()
+        state = state.join(F.broadcast(batch_keys), "key", "left_semi")
         looked = out.alias("e").join(
-            F.broadcast(
-                current_state.select(
-                    F.struct(*[F.col(k) for k in key_cols]).alias("key"),
-                    F.col("doc_json").alias("_fallback_doc"),
-                )
-            ).alias("s"),
+            state.alias("s"),
             F.col("e.key") == F.col("s.key"),
             "left",
         )

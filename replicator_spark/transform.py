@@ -247,13 +247,17 @@ class TransformEngine:
                     nxt = nxt.where(F.coalesce(ok, F.lit(False)))
                 elif r.error_policy == "fail_fast":
                     # resolved at action time: any invalid row aborts the
-                    # micro-batch, which then replays (at-least-once)
-                    nxt = nxt.withColumn(
-                        "_tf_ok",
-                        F.when(ok, F.lit(1)).otherwise(
-                            F.raise_error(F.lit(f"transform rule {r.name}: validation failed"))
-                        ),
-                    ).drop("_tf_ok")
+                    # micro-batch, which then replays (at-least-once).
+                    # The guard must live in a FILTER predicate: a
+                    # withColumn(...).drop(...) formulation is removed by
+                    # Catalyst column pruning and the raise never fires.
+                    nxt = nxt.where(
+                        F.when(ok, F.lit(True)).otherwise(
+                            F.raise_error(
+                                F.lit(f"transform rule {r.name}: validation failed")
+                            )
+                        )
+                    )
                 # continue: keep rows unmodified? they already carry the
                 # transformed values; 'continue' records and moves on
             df = nxt

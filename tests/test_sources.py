@@ -81,6 +81,30 @@ def test_mongo_fallback_fetch(spark):
     assert out[7]["doc"] == "{}"  # delete convention
 
 
+def test_mongo_fallback_prunes_state_with_semi_join(spark):
+    """The table-state lookup must be pruned by a semi-join on the
+    batch's keys BEFORE the left join — the state itself is never
+    broadcast wholesale (VERDICT r01: unconditional F.broadcast of live
+    table state OOMs executors at scale). The only explicit broadcast in
+    the plan is the batch-keys side of the semi join."""
+    events = spark.createDataFrame(
+        [({"repo": "r", "path": "p", "commit": "c"}, "update", None, "coll", 5)],
+        "documentKey struct<repo:string,path:string,commit:string>, "
+        "operationType string, fullDocument string, ns_coll string, seq long",
+    )
+    state = spark.createDataFrame(
+        [("r", "p", "c", '{"x":1}')],
+        "repo string, path string, commit string, doc_json string",
+    )
+    plan = (
+        from_mongo_events(events, state)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "LeftSemi" in plan, plan
+
+
 def test_mongo_replace_folds_to_update(spark):
     events = spark.createDataFrame(
         [({"repo": "r", "path": "p", "commit": "c"}, "replace", "{}", "coll", 1)],

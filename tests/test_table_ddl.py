@@ -70,3 +70,38 @@ def test_streaming_progress_listener(spark, tmp_path):
         assert lines and "batchId" in lines[0]
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_key_cols_persisted_and_enforced(spark, tmp_path):
+    """Non-default merge keys are fixed at create time: read()/compact()
+    resolve LWW on the persisted key set, and a merge with a different
+    key set is rejected (ADVICE r01: read/compact used to hardcode the
+    default key and silently mis-resolve)."""
+    import pytest
+    from pyspark.sql import Row
+
+    t = LakeTable(spark, str(tmp_path / "t2"))
+    t.create(REPOS_SCHEMA, num_buckets=4, key_cols=("repo", "path"))
+    assert t.key_columns() == ["repo", "path"]
+
+    b1 = spark.createDataFrame(
+        [Row(repo="r1", path="p1", commit="c1", lang="py", content="v1",
+             seq=1, op="insert", event_id="e1")]
+    )
+    b2 = spark.createDataFrame(
+        [Row(repo="r1", path="p1", commit="c2", lang="py", content="v2",
+             seq=2, op="update", event_id="e2")]
+    )
+    t.merge(b1, "b1", mode="mor")
+    t.merge(b2, "b2", mode="mor")
+    # LWW on (repo, path): ONE live row, the seq=2 image — resolution on
+    # the default 3-col key would wrongly keep both commits
+    live = t.read()
+    assert live.count() == 1
+    assert live.first()["content"] == "v2"
+    t.compact()
+    live = t.read()
+    assert live.count() == 1 and live.first()["content"] == "v2"
+
+    with pytest.raises(ValueError, match="key_cols"):
+        t.merge(b2, "b3", key_cols=("repo", "path", "commit"))

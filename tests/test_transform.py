@@ -148,6 +148,43 @@ def test_dead_letter_policy(spark):
     assert [r["tag"] for r in dead.collect()] == ["b"]
 
 
+def test_fail_fast_policy_raises(spark):
+    """fail_fast must abort the batch on an invalid row. Regression: the
+    guard used to live in a withColumn(...).drop(...) that Catalyst
+    column-pruned away, so invalid rows sailed through silently."""
+    df = _df(spark, [("1", "a"), (None, "b")], "v string, tag string")
+    eng = TransformEngine(
+        [
+            Rule(
+                "r",
+                actions=[Action("pass")],
+                error_policy="fail_fast",
+                validate=Condition("v", "exists"),
+            )
+        ]
+    )
+    out, dead = eng.apply(df)
+    assert dead is None
+    with pytest.raises(Exception, match="transform rule r: validation failed"):
+        out.collect()
+
+
+def test_fail_fast_policy_passes_valid_rows(spark):
+    df = _df(spark, [("1", "a"), ("2", "b")], "v string, tag string")
+    eng = TransformEngine(
+        [
+            Rule(
+                "r",
+                actions=[Action("pass")],
+                error_policy="fail_fast",
+                validate=Condition("v", "exists"),
+            )
+        ]
+    )
+    out, _ = eng.apply(df)
+    assert sorted(r["tag"] for r in out.collect()) == ["a", "b"]
+
+
 def test_skip_policy(spark):
     df = _df(spark, [("1", "a"), (None, "b")], "v string, tag string")
     eng = TransformEngine(
