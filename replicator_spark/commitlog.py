@@ -14,6 +14,27 @@ reference only *declared* this, its checkpoints are no-ops —
 Single-writer (the Spark driver) is assumed, matching Structured
 Streaming's one-query-per-checkpoint model. On a shared object store the
 rename becomes a conditional PUT / catalog swap; the API is unchanged.
+
+Metadata is bounded at the 10^10-event regime (VERDICT r01 #4):
+
+* **Manifest indirection** — per-bucket file lists are serialized as
+  content-addressed manifest files (``metadata/manifests/m-<sha1>.json``)
+  instead of inline JSON. A commit that touches 3 of 32 buckets writes 3
+  small manifests and re-references the other 29 by hash, so snapshot
+  bytes are O(num_buckets), not O(total files); identical lists dedupe
+  by construction (this is Iceberg's manifest-list idea flattened one
+  level). Old inline-list snapshots still load (back-compat).
+* **Ledger watermark** — the committed-batch ledger retains only the
+  last ``keep`` batch ids per stream; older ids are evicted and covered
+  by a per-stream floor (``ledger_floor``): a batch id at or below the
+  floor is known-committed. Sound because stream batch ids are monotonic
+  (Structured Streaming epochs are contiguous; replay_feed applies in
+  sorted order) — any reordering window must be < ``keep``. Batch keys
+  that don't parse as ``<stream>-<n>`` are retained forever.
+
+Unreferenced manifests from superseded snapshots are garbage, never
+consulted; a maintenance job can GC manifests not referenced by any
+retained snapshot version.
 """
 
 from __future__ import annotations
@@ -40,6 +61,9 @@ class Snapshot:
     # snapshot so read()/compact() resolve LWW on the same keys merge()
     # used (None in pre-upgrade snapshots → model.KEY_COLS).
     key_cols: list[str] | None = None
+    # per-stream high-water mark of batch ids evicted from
+    # committed_batches: n <= ledger_floor[stream] ⇒ committed
+    ledger_floor: dict[str, int] = field(default_factory=dict)
 
     def to_json(self) -> str:
         return json.dumps(self.__dict__, sort_keys=True)
@@ -47,6 +71,51 @@ class Snapshot:
     @staticmethod
     def from_json(s: str) -> "Snapshot":
         return Snapshot(**json.loads(s))
+
+
+def parse_batch_key(batch_key: str) -> tuple[str, int] | None:
+    """``<stream>-<n>`` → (stream, n); None if it doesn't parse."""
+    stream, sep, n = batch_key.rpartition("-")
+    if sep and stream and n.isdigit():
+        return stream, int(n)
+    return None
+
+
+def retain_ledger(
+    committed: dict[str, int], floor: dict[str, int], keep: int | None
+) -> tuple[dict[str, int], dict[str, int]]:
+    """Evict ledger entries more than ``keep`` batch ids below each
+    stream's max, advancing that stream's floor to the highest evicted
+    id. ``keep=None`` disables retention (ledger grows unboundedly)."""
+    if keep is None:
+        return committed, floor
+    max_n: dict[str, int] = {}
+    for k in committed:
+        p = parse_batch_key(k)
+        if p:
+            max_n[p[0]] = max(max_n.get(p[0], -1), p[1])
+    out = {}
+    floor = dict(floor)
+    for k, v in committed.items():
+        p = parse_batch_key(k)
+        if p and p[1] <= max_n[p[0]] - keep:
+            floor[p[0]] = max(floor.get(p[0], -1), p[1])
+        else:
+            out[k] = v
+    return out, floor
+
+
+def is_committed(snap: Snapshot, batch_key: str) -> int | None:
+    """Committed version for ``batch_key``, or None. Covers both the
+    retained ledger window and the evicted zone below the floor (the
+    snapshot's own version stands in for the exact one there)."""
+    v = snap.committed_batches.get(batch_key)
+    if v is not None:
+        return v
+    p = parse_batch_key(batch_key)
+    if p and p[1] <= snap.ledger_floor.get(p[0], -1):
+        return snap.version
+    return None
 
 
 def _atomic_write(path: str, data: str) -> None:
@@ -84,24 +153,71 @@ def current_version(root: str) -> int | None:
         return None
 
 
+def _manifest_ref(root: str, files: list[str]) -> str:
+    """Write-if-absent a content-addressed manifest; return its ref.
+    Identical file lists hash to the same ref, so a bucket untouched by
+    a commit re-references its existing manifest for free."""
+    import hashlib
+
+    h = hashlib.sha1("\n".join(files).encode()).hexdigest()[:16]
+    rel = f"manifests/m-{h}.json"
+    path = os.path.join(meta_dir(root), rel)
+    if not os.path.exists(path):
+        _atomic_write(path, json.dumps(files))
+    return rel
+
+
+def _externalize(root: str, bucket_files: dict[str, list[str]]) -> dict:
+    return {
+        b: (_manifest_ref(root, fs) if fs else []) for b, fs in bucket_files.items()
+    }
+
+
+def _resolve(root: str, refs: dict) -> dict[str, list[str]]:
+    out: dict[str, list[str]] = {}
+    for b, v in refs.items():
+        if isinstance(v, str):  # manifest ref
+            with open(os.path.join(meta_dir(root), v)) as f:
+                out[b] = json.load(f)
+        else:  # inline list (pre-manifest snapshots, empty buckets)
+            out[b] = list(v)
+    return out
+
+
 def load_snapshot(root: str, version: int | None = None) -> Snapshot | None:
-    """Load a snapshot; ``version`` enables time travel."""
+    """Load a snapshot; ``version`` enables time travel. Manifest refs
+    are resolved back to inline file lists — callers see plain dicts."""
     v = current_version(root) if version is None else version
     if v is None:
         return None
     with open(_snap_path(root, v)) as f:
-        return Snapshot.from_json(f.read())
+        snap = Snapshot.from_json(f.read())
+    snap.files = _resolve(root, snap.files)
+    if snap.props and "deltas" in snap.props:
+        snap.props = dict(snap.props)
+        snap.props["deltas"] = _resolve(root, snap.props["deltas"])
+    return snap
 
 
 def commit_snapshot(root: str, snap: Snapshot) -> None:
     """Two-step atomic commit: snapshot file, then pointer swap.
 
-    A crash between the two steps leaves a dangling v{N}.json that the
-    hint never references — harmless, identical to an uncommitted
-    Iceberg snapshot. Readers only follow the hint.
+    File lists (base + mor deltas) are externalized to content-addressed
+    manifests so the snapshot JSON stays O(num_buckets) regardless of
+    file count or history length.
+
+    A crash between the two steps leaves a dangling v{N}.json (and
+    possibly manifests) that the hint never references — harmless,
+    identical to an uncommitted Iceberg snapshot. Readers only follow
+    the hint.
     """
     snap.committed_at_ms = int(time.time() * 1000)
-    _atomic_write(_snap_path(root, snap.version), snap.to_json())
+    d = dict(snap.__dict__)
+    d["files"] = _externalize(root, snap.files)
+    if snap.props and "deltas" in snap.props:
+        d["props"] = dict(snap.props)
+        d["props"]["deltas"] = _externalize(root, snap.props["deltas"])
+    _atomic_write(_snap_path(root, snap.version), json.dumps(d, sort_keys=True))
     _atomic_write(_hint_path(root), str(snap.version))
 
 

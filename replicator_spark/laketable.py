@@ -148,6 +148,7 @@ class LakeTable:
                 committed_batches=dict(snap.committed_batches),
                 props={"truncated": True, "deltas": {}},
                 key_cols=snap.key_cols,
+                ledger_floor=dict(snap.ledger_floor),
             ),
         )
 
@@ -177,7 +178,14 @@ class LakeTable:
         return snap
 
     def committed_batches(self) -> dict[str, int]:
+        """The retained ledger window (see commitlog retention; batches
+        evicted below the floor are still covered by is_committed)."""
         return dict(self._snap().committed_batches)
+
+    def is_committed(self, batch_key: str) -> int | None:
+        """Version that committed ``batch_key``, or None if never
+        applied — the idempotence check, floor-aware."""
+        return cl.is_committed(self._snap(), batch_key)
 
     # -- read ----------------------------------------------------------
     def _physical_schema(self, snap: cl.Snapshot) -> T.StructType:
@@ -247,6 +255,8 @@ class LakeTable:
         files_per_bucket: int | None = None,
         compact_after_deltas: int = 8,
         props: dict | None = None,
+        ledger_keep: int | None = 1024,
+        pre_commit_check=None,
     ) -> MergeStats:
         """Apply one micro-batch as MERGE INTO. Idempotent on batch_key.
 
@@ -254,12 +264,18 @@ class LakeTable:
         LWW-deduped to ONE row per key (pipeline.apply_batch does that).
         ``mode='mor'`` appends deltas and auto-compacts buckets whose
         delta chain exceeds ``compact_after_deltas``.
+
+        ``pre_commit_check`` (no-arg callable) runs after the batch's
+        data files are written but BEFORE the snapshot commit; raising
+        aborts the merge with nothing committed (the orphan data dir is
+        invisible to readers and overwritten on retry). This is the hook
+        the pipeline uses to abort-and-retry when its observation
+        detects payload fields outside the inferred schema.
         """
         snap = self._snap()
-        if batch_key in snap.committed_batches:
-            return MergeStats(
-                batch_key, snap.committed_batches[batch_key], replayed=True, mode=mode
-            )
+        done = cl.is_committed(snap, batch_key)
+        if done is not None:
+            return MergeStats(batch_key, done, replayed=True, mode=mode)
 
         table_keys = self.key_columns(snap)
         if key_cols is not None and list(key_cols) != table_keys:
@@ -312,9 +328,13 @@ class LakeTable:
             finally:
                 src.unpersist()
 
+        if pre_commit_check is not None:
+            pre_commit_check()
+
         committed = dict(snap.committed_batches)
         new_version = snap.version + 1
         committed[batch_key] = new_version
+        committed, floor = cl.retain_ledger(committed, snap.ledger_floor, ledger_keep)
         nsnap = cl.Snapshot(
             version=new_version,
             parent=snap.version,
@@ -324,6 +344,7 @@ class LakeTable:
             committed_batches=committed,
             props={**(props or {}), "batch_key": batch_key, "deltas": deltas},
             key_cols=snap.key_cols,
+            ledger_floor=floor,
         )
         cl.commit_snapshot(self.root, nsnap)
         stats.version = new_version
@@ -496,6 +517,7 @@ class LakeTable:
             committed_batches=dict(snap.committed_batches),
             props={"compaction": True, "deltas": new_deltas},
             key_cols=snap.key_cols,
+            ledger_floor=dict(snap.ledger_floor),
         )
         cl.commit_snapshot(self.root, nsnap)
         return new_version

@@ -28,6 +28,7 @@ METRICS_SCHEMA = pa.schema(
         ("deduped", pa.int64()),
         ("deleted", pa.int64()),
         ("schema_evolved", pa.int64()),
+        ("schema_retries", pa.int64()),
         ("touched_buckets", pa.int64()),
         ("wall_ms", pa.int64()),
         ("ts_ms", pa.int64()),

@@ -95,6 +95,44 @@ class BatchResult:
     received: int
     deduped: int
     wall_ms: int
+    schema_retries: int = 0  # evolution-triggered abort-and-retry count
+
+
+class SchemaTracker:
+    """Caches the inferred payload schema across micro-batches.
+
+    r01 inferred per batch — one extra Spark job + driver round-trip of
+    pure fixed cost on EVERY micro-batch (the steady-state throughput
+    cap at small batches, BENCH/BASELINE.md). With a tracker the
+    inference job runs once per stream; afterwards evolution is detected
+    by an aggregate riding the merge write itself (zero extra passes)
+    and handled by abort-and-retry before anything commits.
+    """
+
+    def __init__(self, schema: T.StructType | None = None):
+        self.schema = schema
+        self.retries = 0  # lifetime widenings (observable via metrics)
+
+
+class _SchemaStale(Exception):
+    """Raised by the pre-commit check when the batch carries payload
+    fields outside the inferred schema — aborts the merge uncommitted."""
+
+
+def _unseen_keys_flag(schema: T.StructType, doc_col: str = "doc"):
+    """True where the doc JSON has keys outside ``schema`` (null/invalid
+    docs → null → treated as seen)."""
+    keys = F.json_object_keys(F.col(doc_col))
+    known = [f.name for f in schema.fields]
+    extra = F.array_except(keys, F.array(*[F.lit(k) for k in known])) if known else keys
+    return F.size(extra) > 0
+
+
+def _widen(schema: T.StructType, extra: T.StructType) -> T.StructType:
+    have = {f.name for f in schema.fields}
+    return T.StructType(
+        list(schema.fields) + [f for f in extra.fields if f.name not in have]
+    )
 
 
 def auto_files_per_bucket(
@@ -148,6 +186,7 @@ def apply_batch(
     files_per_bucket: int | str | None = "auto",
     compact_after_deltas: int = 8,
     write_metrics: bool = True,
+    schema_tracker: SchemaTracker | None = None,
 ) -> BatchResult:
     """Normalize + transform + LWW dedup + MERGE one micro-batch,
     idempotently.
@@ -155,11 +194,19 @@ def apply_batch(
     ``transform_engine`` (transform.TransformEngine) runs between
     normalize and dedup with event_id/seq/op/key columns protected
     (critical-field preservation, service.go:493-501); its dead-letter
-    rows land in ``<table_root>/_dead_letter`` parquet.
+    rows land in ``<table_root>/_dead_letter/batch_key=<k>`` parquet
+    (per-batch path + overwrite + ledger check ⇒ replay-idempotent).
 
     ``files_per_bucket``: "auto" (default) sizes the write-layout salt
     from the batch's input bytes (auto_files_per_bucket); an int forces
     a fixed layout; None uses the AQE REBALANCE layout.
+
+    ``schema_tracker`` (when ``payload_schema`` is None) caches the
+    inferred schema across batches and turns on lossless evolution
+    detection: an aggregate riding the merge write counts docs with
+    keys outside the schema; if any, the merge ABORTS pre-commit, the
+    schema is widened from those rows, and the batch re-applies — no
+    silently nulled columns, no per-batch inference job.
 
     All counters ride the single MERGE action via Observations — no
     extra passes over the batch.
@@ -167,51 +214,89 @@ def apply_batch(
     t0 = time.time()
     if files_per_bucket == "auto":
         files_per_bucket = auto_files_per_bucket(raw_batch)
+    detect = False
     if payload_schema is None:
-        payload_schema = infer_payload_schema(raw_batch)
+        if schema_tracker is not None:
+            if schema_tracker.schema is None:
+                schema_tracker.schema = infer_payload_schema(raw_batch)
+            payload_schema = schema_tracker.schema
+            detect = True
+        else:
+            payload_schema = infer_payload_schema(raw_batch)
     key_cols = table.key_columns()
-    flat = normalize(raw_batch, payload_schema, key_cols=key_cols)
-    if transform_engine is not None:
-        flat, dead = transform_engine.apply(flat)
-        if dead is not None and batch_key not in table.committed_batches():
-            # Idempotent DLQ: per-batch directory + overwrite, and no
-            # write at all when the ledger already has the batch — a
-            # redelivered micro-batch must not duplicate dead letters
-            # (exactly-once covers the DLQ too).
-            dead.write.mode("overwrite").parquet(
-                f"{table.root}/_dead_letter/batch_key={batch_key}"
+
+    retries = 0
+    while True:
+        raw = raw_batch
+        obs_unseen = None
+        if detect:
+            obs_unseen = Observation(f"unseen-{batch_key}-r{retries}")
+            raw = raw.observe(
+                obs_unseen,
+                F.sum(
+                    F.when(_unseen_keys_flag(payload_schema), 1).otherwise(0)
+                ).alias("unseen"),
             )
+        flat = normalize(raw, payload_schema, key_cols=key_cols)
+        if transform_engine is not None:
+            flat, dead = transform_engine.apply(flat)
+            if dead is not None and table.is_committed(batch_key) is None:
+                dead.write.mode("overwrite").parquet(
+                    f"{table.root}/_dead_letter/batch_key={batch_key}"
+                )
 
-    obs_in = Observation(f"in-{batch_key}")
-    flat = flat.observe(
-        obs_in,
-        F.count(F.lit(1)).alias("received"),
-        F.min("seq").alias("seq_lo"),
-        F.max("seq").alias("seq_hi"),
-    )
-    # No separate event-id dedup pass: redelivered duplicates carry an
-    # identical (key, seq), so the per-key LWW window already collapses
-    # them (tiebreak on event_id keeps it deterministic) — one shuffle
-    # instead of two. dedup.dedup_exact remains for standalone use.
-    prepared = lww_latest(flat, key_cols, "seq")
+        obs_in = Observation(f"in-{batch_key}-r{retries}")
+        flat = flat.observe(
+            obs_in,
+            F.count(F.lit(1)).alias("received"),
+            F.min("seq").alias("seq_lo"),
+            F.max("seq").alias("seq_hi"),
+        )
+        # No separate event-id dedup pass: redelivered duplicates carry an
+        # identical (key, seq), so the per-key LWW window already collapses
+        # them (tiebreak on event_id keeps it deterministic) — one shuffle
+        # instead of two. dedup.dedup_exact remains for standalone use.
+        prepared = lww_latest(flat, key_cols, "seq")
 
-    stats = table.merge(
-        prepared,
-        batch_key,
-        mode=mode,
-        files_per_bucket=files_per_bucket,
-        compact_after_deltas=compact_after_deltas,
-    )
+        def _check(obs=obs_unseen):
+            if int(obs.get["unseen"] or 0) > 0:
+                raise _SchemaStale()
+
+        try:
+            stats = table.merge(
+                prepared,
+                batch_key,
+                mode=mode,
+                files_per_bucket=files_per_bucket,
+                compact_after_deltas=compact_after_deltas,
+                pre_commit_check=_check if detect else None,
+            )
+            break
+        except _SchemaStale:
+            # widen from the rows that carry the unknown keys, re-apply;
+            # after 3 widenings commit as-is rather than loop (a doc
+            # whose keys never stabilize would stall the stream)
+            retries += 1
+            extra = infer_payload_schema(
+                raw_batch.where(_unseen_keys_flag(payload_schema))
+            )
+            payload_schema = _widen(payload_schema, extra)
+            if schema_tracker is not None:
+                schema_tracker.schema = payload_schema
+                schema_tracker.retries += 1
+            if retries >= 3:
+                detect = False
+
     wall_ms = int((time.time() - t0) * 1000)
     if stats.replayed:
-        return BatchResult(stats, 0, 0, wall_ms)
+        return BatchResult(stats, 0, 0, wall_ms, retries)
 
     m_in = obs_in.get
     received = int(m_in["received"] or 0)
     # rows removed before apply: redelivery duplicates + intra-batch
     # LWW-superseded images
     deduped = received - (stats.applied + stats.skipped_stale)
-    res = BatchResult(stats, received, deduped, wall_ms)
+    res = BatchResult(stats, received, deduped, wall_ms, retries)
     if write_metrics:
         M.append_metrics(
             table.root,
@@ -224,6 +309,7 @@ def apply_batch(
                 "deduped": deduped,
                 "deleted": stats.deleted,
                 "schema_evolved": stats.schema_evolved,
+                "schema_retries": retries,
                 "touched_buckets": stats.touched_buckets,
                 "wall_ms": wall_ms,
             },
@@ -265,9 +351,14 @@ def replay_feed(
     multi-source aggregation, ``examples/configs/
     multi-source-aggregation.yaml``) replay into one table; otherwise
     the second stream's batches alias the first's and are skipped as
-    replays."""
+    replays.
+
+    With ``payload_schema=None`` a SchemaTracker is created for the
+    whole replay: the schema is inferred once, and additive evolution
+    mid-feed is caught losslessly by the pre-commit detection."""
     import os
 
+    tracker = SchemaTracker() if payload_schema is None else None
     if batches is None:
         batches = sorted(
             int(d.split("=")[1])
@@ -287,6 +378,7 @@ def replay_feed(
                 files_per_bucket=files_per_bucket,
                 compact_after_deltas=compact_after_deltas,
                 write_metrics=write_metrics,
+                schema_tracker=tracker,
             )
         )
     return out

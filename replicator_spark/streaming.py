@@ -60,6 +60,13 @@ def run_stream(
         .parquet(feed_dir)
     )
 
+    # one tracker per stream: schema inferred on the first micro-batch
+    # only (not per batch — that fixed cost capped steady-state
+    # throughput), with lossless pre-commit evolution detection
+    from .pipeline import SchemaTracker
+
+    tracker = SchemaTracker() if payload_schema is None else None
+
     def _apply(batch_df, batch_id: int):
         apply_batch(
             table,
@@ -68,6 +75,7 @@ def run_stream(
             payload_schema=payload_schema,
             mode=mode,
             files_per_bucket=files_per_bucket,
+            schema_tracker=tracker,
         )
 
     writer = (

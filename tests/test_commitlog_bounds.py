@@ -1,0 +1,98 @@
+"""Snapshot metadata must stay bounded over long histories (VERDICT r01
+#4): manifest indirection keeps per-snapshot bytes O(num_buckets), and
+ledger retention keeps the committed-batch map O(keep) per stream while
+evicted batches remain replay-protected via the floor."""
+
+import json
+import os
+
+from pyspark.sql import Row
+
+from replicator_spark import commitlog as cl
+from replicator_spark.laketable import LakeTable
+from replicator_spark.model import REPOS_SCHEMA
+
+
+def test_parse_and_retain_ledger():
+    assert cl.parse_batch_key("feed-12") == ("feed", 12)
+    assert cl.parse_batch_key("a-b-3") == ("a-b", 3)
+    assert cl.parse_batch_key("noindex") is None
+    committed = {f"s-{i}": i + 1 for i in range(100)}
+    committed["custom"] = 7
+    out, floor = cl.retain_ledger(committed, {}, keep=10)
+    assert set(out) == {f"s-{i}" for i in range(90, 100)} | {"custom"}
+    assert floor == {"s": 89}
+    # keep=None disables retention
+    out2, floor2 = cl.retain_ledger(committed, {}, keep=None)
+    assert out2 == committed and floor2 == {}
+
+
+def test_is_committed_covers_evicted_zone():
+    snap = cl.Snapshot(
+        version=50,
+        parent=49,
+        schema_json="{}",
+        num_buckets=4,
+        files={},
+        committed_batches={"s-49": 50},
+        ledger_floor={"s": 48},
+    )
+    assert cl.is_committed(snap, "s-49") == 50
+    assert cl.is_committed(snap, "s-3") == 50  # evicted, below floor
+    assert cl.is_committed(snap, "s-51") is None
+    assert cl.is_committed(snap, "other-1") is None
+
+
+def _tiny_batch(spark, i):
+    return spark.createDataFrame(
+        [
+            Row(
+                repo=f"r{i % 3}",
+                path=f"p{i}",
+                commit="c",
+                lang="py",
+                content=f"v{i}",
+                seq=i,
+                op="insert",
+                event_id=f"e{i}",
+            )
+        ]
+    )
+
+
+def test_metadata_bounded_over_many_commits(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "t"))
+    t.create(REPOS_SCHEMA, num_buckets=4)
+    n = 40
+    for i in range(n):
+        t.merge(_tiny_batch(spark, i), f"s-{i}", mode="mor", ledger_keep=8)
+
+    # ledger bounded by keep (+ compaction snapshots don't add keys)
+    assert len(t.committed_batches()) <= 8
+    # evicted batches are still exactly-once
+    assert t.is_committed("s-0") is not None
+    res = t.merge(_tiny_batch(spark, 0), "s-0", mode="mor", ledger_keep=8)
+    assert res.replayed
+    # all rows still live (no data lost to retention/compaction)
+    assert t.read().count() == n
+
+    # snapshot JSON bytes stay flat: late snapshots no bigger than ~2x an
+    # early one (inline file lists + full ledger grew linearly before)
+    meta = cl.meta_dir(t.root)
+    sizes = {
+        v: os.path.getsize(os.path.join(meta, f"v{v}.json"))
+        for v in cl.list_versions(t.root)
+    }
+    versions = sorted(sizes)
+    early, late = sizes[versions[10]], max(sizes[v] for v in versions[-5:])
+    assert late <= 2 * early + 512, (early, late)
+
+    # manifests are content-addressed: untouched buckets dedupe
+    manifests = os.listdir(os.path.join(meta, "manifests"))
+    assert all(m.startswith("m-") for m in manifests)
+    # round-trip: resolved snapshot still lists real files
+    snap = cl.load_snapshot(t.root)
+    for fs in snap.files.values():
+        for f in fs:
+            assert os.path.exists(f)
+    assert json.loads(open(os.path.join(meta, f"v{snap.version}.json")).read())
