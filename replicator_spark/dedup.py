@@ -58,6 +58,61 @@ def lww_latest(
     return out.select(*key_cols, *[F.col(f"_top.{c}").alias(c) for c in other])
 
 
+def lww_collapse_partial(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    seq_col: str = "seq",
+    partial_col: str = "_partial",
+    tiebreak_col: str | None = "event_id",
+    op_col: str = "op",
+) -> DataFrame:
+    """Partial-update-aware LWW collapse: one row per key where each
+    payload column carries the value of the latest event that *touched*
+    it (reference ``$set``/UpdateFields semantics — ``pkg/estuary/
+    mongo.go:345-347``, ``pkg/models/models.go:37``).
+
+    Touch rules: a full-image row (``partial_col`` false — inserts,
+    full updates, and deletes) touches every column (deletes with null,
+    resetting state); a partial row touches only its non-null columns
+    (JSON-absent ≡ null after from_json, so partials cannot set a column
+    TO null — documented divergence, same information loss as the
+    reference's BSON ``$set`` map).
+
+    The collapsed row is itself flagged partial only when *every* event
+    in the group was partial — one full image in the group determines
+    all columns, so the result is a full image.
+
+    Same single-shuffle max_by partial-aggregation shape as lww_latest;
+    one aggregate expression per column.
+    """
+    engine_cols = {seq_col, op_col, partial_col}
+    if tiebreak_col is not None and tiebreak_col in df.columns:
+        engine_cols.add(tiebreak_col)
+    payload = [c for c in df.columns if c not in set(key_cols) | engine_cols]
+
+    part = F.coalesce(F.col(partial_col), F.lit(False)) & (
+        F.col(op_col) != F.lit("delete")
+    )
+    ord_cols = [F.col(seq_col)]
+    if tiebreak_col is not None and tiebreak_col in df.columns:
+        ord_cols.append(F.col(tiebreak_col))
+    ord_ = F.struct(*ord_cols)
+
+    aggs = [
+        F.max_by(F.col(seq_col), ord_).alias(seq_col),
+        F.max_by(F.col(op_col), ord_).alias(op_col),
+        # all-partial group ⇒ still partial relative to the table
+        F.min(F.when(part, 1).otherwise(0)).cast("boolean").alias(partial_col),
+    ]
+    if tiebreak_col is not None and tiebreak_col in df.columns:
+        aggs.append(F.max_by(F.col(tiebreak_col), ord_).alias(tiebreak_col))
+    for c in payload:
+        touch = (~part) | F.col(c).isNotNull()
+        # null ordering rows are ignored by max_by ⇒ only touchers count
+        aggs.append(F.max_by(F.col(c), F.when(touch, ord_)).alias(c))
+    return df.groupBy(*[F.col(k) for k in key_cols]).agg(*aggs)
+
+
 def lww_latest_window(
     df: DataFrame,
     key_cols: Sequence[str],

@@ -77,6 +77,7 @@ class MergeStats:
     touched_buckets: int = 0
     mode: str = "cow"
     replayed: bool = False  # batch_key already committed → no-op
+    seq_hi: int | None = None  # max source seq in the batch
 
 
 def bucket_expr(num_buckets: int, repo_col: str = "repo") -> F.Column:
@@ -257,6 +258,7 @@ class LakeTable:
         props: dict | None = None,
         ledger_keep: int | None = 1024,
         pre_commit_check=None,
+        tombstone_retention: int | None = None,
     ) -> MergeStats:
         """Apply one micro-batch as MERGE INTO. Idempotent on batch_key.
 
@@ -265,12 +267,35 @@ class LakeTable:
         ``mode='mor'`` appends deltas and auto-compacts buckets whose
         delta chain exceeds ``compact_after_deltas``.
 
+        ``tombstone_retention``: when set, auto-compaction expires
+        tombstones whose seq is more than this many sequence numbers
+        below the table's max applied seq (tracked in snapshot props) —
+        bounding tombstone growth at the 10^10-event regime. Must exceed
+        the source's maximum reordering window: a tombstone may only be
+        dropped once no straggler update older than it can still arrive.
+
         ``pre_commit_check`` (no-arg callable) runs after the batch's
         data files are written but BEFORE the snapshot commit; raising
         aborts the merge with nothing committed (the orphan data dir is
         invisible to readers and overwritten on retry). This is the hook
         the pipeline uses to abort-and-retry when its observation
         detects payload fields outside the inferred schema.
+
+        **Partial updates** (reference ``$set``/UpdateFields —
+        ``pkg/estuary/mongo.go:345-347``, ``pkg/models/models.go:37``):
+        a boolean ``_partial`` column marks rows that carry only changed
+        fields. For those rows absent (null) payload columns mean
+        *untouched* and coalesce with the target row instead of nulling
+        it; a partial update on a deleted/absent key upserts just its
+        fields (tombstoned values are NOT resurrected). Without the
+        column, full-image replace semantics apply as before. In mor
+        mode partial rows are upgraded to full images at write time via
+        a join against the touched buckets' current state (read cost
+        O(touched buckets), paid only by batches that contain partials;
+        the delta append stays O(batch)); in cow mode the coalesce rides
+        the existing full-outer join. Cross-batch reordering of partials
+        against deletes/full images of the same key is resolved by whole-
+        row LWW, matching the reference's in-order apply loop.
         """
         snap = self._snap()
         done = cl.is_committed(snap, batch_key)
@@ -287,8 +312,11 @@ class LakeTable:
         key_cols = table_keys
         logical = self.schema()
         payload_in_table = [f.name for f in logical.fields if f.name not in key_cols]
+        has_partial = "_partial" in batch.columns
         batch_payload = [
-            c for c in batch.columns if c not in key_cols + [seq_col, op_col, "event_id"]
+            c
+            for c in batch.columns
+            if c not in key_cols + [seq_col, op_col, "event_id", "_partial"]
         ]
 
         # additive schema evolution: new payload columns widen the table
@@ -310,7 +338,20 @@ class LakeTable:
         if mode == "mor":
             # No pre-write bucket discovery needed: the partitioned delta
             # write itself reveals which buckets were touched — one Spark
-            # job per micro-batch, total.
+            # job per micro-batch, total. (Partial batches are the
+            # exception: upgrading partials to full images needs the
+            # current state of their buckets.)
+            if has_partial:
+                # Materialize the batch ONCE before the two consumers
+                # (bucket discovery + delta write). localCheckpoint, not
+                # persist: an eager checkpoint runs the whole plan, so
+                # upstream Observations fire with complete values —
+                # persist() + a filtered first action materializes the
+                # cache partially and corrupts the observation row.
+                src = src.localCheckpoint(eager=True)
+                src = self._upgrade_partials(
+                    snap, src, key_cols, all_payload, seq_col, op_col
+                )
             stats, files, deltas, touched = self._merge_mor(
                 snap, src, batch_key, all_payload,
                 key_cols, seq_col, op_col, files_per_bucket,
@@ -335,6 +376,9 @@ class LakeTable:
         new_version = snap.version + 1
         committed[batch_key] = new_version
         committed, floor = cl.retain_ledger(committed, snap.ledger_floor, ledger_keep)
+        prev_max = (snap.props or {}).get("max_seq")
+        seqs = [x for x in (prev_max, stats.seq_hi) if x is not None]
+        max_seq = max(seqs) if seqs else None
         nsnap = cl.Snapshot(
             version=new_version,
             parent=snap.version,
@@ -342,7 +386,12 @@ class LakeTable:
             num_buckets=nb,
             files=files,
             committed_batches=committed,
-            props={**(props or {}), "batch_key": batch_key, "deltas": deltas},
+            props={
+                **(props or {}),
+                "batch_key": batch_key,
+                "deltas": deltas,
+                "max_seq": max_seq,
+            },
             key_cols=snap.key_cols,
             ledger_floor=floor,
         )
@@ -353,8 +402,64 @@ class LakeTable:
         if mode == "mor":
             max_chain = max((len(v) for v in deltas.values()), default=0)
             if max_chain >= compact_after_deltas:
-                self.compact()
+                expire = None
+                if tombstone_retention is not None and max_seq is not None:
+                    expire = max_seq - tombstone_retention
+                self.compact(expire_tombstones_below_seq=expire)
         return stats
+
+    def _upgrade_partials(
+        self, snap, src, key_cols, all_payload, seq_col, op_col
+    ) -> DataFrame:
+        """mor write-time upgrade: partial rows become full images by
+        coalescing with the *live* current state of their keys (deleted
+        keys resolve to no match — a partial after a delete upserts only
+        its own fields, never resurrecting tombstoned values). Only the
+        partial rows' buckets are read; full-image rows pass through."""
+        part_cond = F.coalesce(F.col("_partial"), F.lit(False)) & (
+            F.col(op_col) != F.lit(OP_DELETE)
+        )
+        proj = [*key_cols, *all_payload, seq_col, op_col, BUCKET_COL]
+        # Single-tree formulation (no filter/union split): any upstream
+        # Observation node must appear exactly once in the written plan,
+        # and this also keeps the batch to one pass. The discovery
+        # action's filter sits ABOVE the pipeline's CollectMetrics, so
+        # the observation still sees every row.
+        buckets = [
+            r[0]
+            for r in src.where(part_cond).select(BUCKET_COL).distinct().collect()
+        ]
+        if not buckets:
+            return src.select(*proj)
+        tgt = self.read(
+            buckets=buckets, include_deleted=False, include_engine_cols=True
+        )
+        sdict = {f.name: f.dataType for f in src.schema.fields}
+        for c in all_payload:
+            if c not in tgt.columns:  # evolved cols absent from target
+                tgt = tgt.withColumn(c, F.lit(None).cast(sdict[c]))
+        cond = [F.col(f"s.{k}") == F.col(f"t.{k}") for k in key_cols]
+        s_part = F.coalesce(F.col("s._partial"), F.lit(False)) & (
+            F.col(f"s.{op_col}") != F.lit(OP_DELETE)
+        )
+        return (
+            src.alias("s")
+            .join(tgt.alias("t"), cond, "left")
+            .select(
+                *[F.col(f"s.{k}").alias(k) for k in key_cols],
+                *[
+                    F.when(
+                        s_part, F.coalesce(F.col(f"s.{c}"), F.col(f"t.{c}"))
+                    )
+                    .otherwise(F.col(f"s.{c}"))
+                    .alias(c)
+                    for c in all_payload
+                ],
+                F.col(f"s.{seq_col}").alias(seq_col),
+                F.col(f"s.{op_col}").alias(op_col),
+                F.col(f"s.{BUCKET_COL}").alias(BUCKET_COL),
+            )
+        )
 
     def _merge_cow(
         self, snap, src, batch_key, touched, all_payload, new_fields,
@@ -383,12 +488,28 @@ class LakeTable:
             F.sum(F.when(win, 1).otherwise(0)).alias("applied"),
             F.sum(F.when(is_src & ~win, 1).otherwise(0)).alias("skipped_stale"),
             F.sum(F.when(win & src_del, 1).otherwise(0)).alias("deleted"),
+            F.max(F.col(f"s.{seq_col}")).alias("seq_hi"),
         )
         proj = [F.coalesce(F.col(f"s.{k}"), F.col(f"t.{k}")).alias(k) for k in key_cols]
-        proj += [
-            F.when(win, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
-            for c in all_payload
-        ]
+        if "_partial" in src.columns:
+            # $set semantics: a winning partial row updates only its
+            # non-null columns; tombstoned target values never leak back
+            part = F.coalesce(F.col("s._partial"), F.lit(False)) & (
+                F.col(f"s.{op_col}") != F.lit(OP_DELETE)
+            )
+            t_dead = F.coalesce(F.col("t._deleted"), F.lit(False))
+            proj += [
+                F.when(win & part & ~t_dead, F.coalesce(F.col(f"s.{c}"), F.col(f"t.{c}")))
+                .when(win, F.col(f"s.{c}"))
+                .otherwise(F.col(f"t.{c}"))
+                .alias(c)
+                for c in all_payload
+            ]
+        else:
+            proj += [
+                F.when(win, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
+                for c in all_payload
+            ]
         proj += [
             F.when(win, F.col(f"s.{seq_col}"))
             .otherwise(F.col(f"t.{LAST_SEQ_COL}"))
@@ -420,6 +541,7 @@ class LakeTable:
             skipped_stale=int(m["skipped_stale"] or 0),
             deleted=int(m["deleted"] or 0),
             mode="cow",
+            seq_hi=int(m["seq_hi"]) if m["seq_hi"] is not None else None,
         )
         return stats, files, deltas
 
@@ -438,6 +560,7 @@ class LakeTable:
             obs,
             F.count(F.lit(1)).alias("applied"),
             F.sum(F.when(F.col("_deleted"), 1).otherwise(0)).alias("deleted"),
+            F.max(F.col(LAST_SEQ_COL)).alias("seq_hi"),
         )
         new_version = snap.version + 1
         out_dir = f"{self.root}/data/v{new_version}"
@@ -457,6 +580,7 @@ class LakeTable:
             applied=int(m["applied"] or 0),
             deleted=int(m["deleted"] or 0),
             mode="mor",
+            seq_hi=int(m["seq_hi"]) if m["seq_hi"] is not None else None,
         )
         return stats, files, deltas, sorted(int(b) for b in new_files)
 
@@ -515,7 +639,11 @@ class LakeTable:
             num_buckets=snap.num_buckets,
             files=files,
             committed_batches=dict(snap.committed_batches),
-            props={"compaction": True, "deltas": new_deltas},
+            props={
+                "compaction": True,
+                "deltas": new_deltas,
+                "max_seq": (snap.props or {}).get("max_seq"),
+            },
             key_cols=snap.key_cols,
             ledger_floor=dict(snap.ledger_floor),
         )

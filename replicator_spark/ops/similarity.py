@@ -74,11 +74,19 @@ def cosine_near_dup_blocked(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.9,
-    n_blocks: int = 16,
+    n_blocks: int | None = None,
+    block_budget_bytes: int = 64 << 20,
     round_to: int | None = 4,
 ) -> DataFrame:
     """All pairs with cosine >= threshold, exact, via block nested-loop
     with a vectorized numpy kernel.
+
+    ``n_blocks=None`` (default) derives the block count from corpus
+    count × dim so one block's vectors stay under ``block_budget_bytes``
+    — blocks are materialized via collect_list into single rows, and a
+    fixed block count would cross the 2 GB JVM array ceiling at a 100×
+    corpus (VERDICT r01 #8). The result is identical for any block
+    count; only the parallelism/row-size tradeoff moves.
 
     The naive formulation (crossJoin + per-pair ``zip_with``/``aggregate``
     fold) evaluates an interpreted lambda per vector element per pair —
@@ -94,6 +102,17 @@ def cosine_near_dup_blocked(
     only inside buckets.)
     """
     import pandas as pd
+
+    if n_blocks is None:
+        import math
+
+        first = df.select(vec_col).first()
+        n = df.count()
+        dim = len(first[0]) if first is not None and first[0] is not None else 1
+        n_blocks = max(
+            df.sparkSession.sparkContext.defaultParallelism // 2 or 1,
+            math.ceil(n * dim * 8 / block_budget_bytes),
+        )
 
     norm = F.sqrt(_dot(F.col("_v"), F.col("_v")))
     vecs = df.select(

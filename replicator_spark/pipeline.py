@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from . import metrics as M
-from .dedup import lww_latest
+from .dedup import lww_collapse_partial, lww_latest
 from .laketable import LakeTable, MergeStats
 from .model import KEY_COLS
 
@@ -67,7 +67,10 @@ def infer_payload_schema(
 
 
 def normalize(
-    df: DataFrame, payload_schema: T.StructType, key_cols=tuple(KEY_COLS)
+    df: DataFrame,
+    payload_schema: T.StructType,
+    key_cols=tuple(KEY_COLS),
+    partial_updates: bool = False,
 ) -> DataFrame:
     """Canonical change record → flat MERGE input.
 
@@ -75,6 +78,12 @@ def normalize(
     reference re-attaches keys after transforms so they can't be
     clobbered, ``pkg/replicator/service.go:493-501``); payload columns
     from ``from_json(doc)``, excluding any field shadowing a key.
+
+    ``partial_updates=True`` adds a ``_partial`` flag from
+    ``meta['partial'] = 'true'`` — the v2 model's UpdateFields signal
+    (``pkg/models/models.go:37``): the doc then carries only changed
+    fields and the merge coalesces per column instead of replacing the
+    full image.
     """
     # Protect the engine columns too, not just keys: a payload field
     # named seq/op/event_id would otherwise duplicate a select column and
@@ -86,6 +95,13 @@ def normalize(
     sel = [F.col("event_id"), F.col("seq"), F.col("op")]
     sel += [F.col(f"key.{k}").alias(k) for k in key_cols]
     sel += [F.col(f"_p.{c}").alias(c) for c in payload_cols]
+    if partial_updates:
+        flag = (
+            F.element_at(F.col("meta"), F.lit("partial")) == F.lit("true")
+            if "meta" in df.columns
+            else F.lit(False)
+        )
+        sel.append(F.coalesce(flag, F.lit(False)).alias("_partial"))
     return out.select(*sel)
 
 
@@ -187,9 +203,17 @@ def apply_batch(
     compact_after_deltas: int = 8,
     write_metrics: bool = True,
     schema_tracker: SchemaTracker | None = None,
+    partial_updates: bool = False,
+    tombstone_retention: int | None = None,
 ) -> BatchResult:
     """Normalize + transform + LWW dedup + MERGE one micro-batch,
     idempotently.
+
+    ``partial_updates=True`` enables $set/UpdateFields semantics:
+    ``meta['partial']='true'`` rows update only their non-null doc
+    fields (partial-aware intra-batch collapse + per-column coalescing
+    MERGE; see laketable.merge). Leave False on feeds that never emit
+    partials — it skips the heavier per-column collapse.
 
     ``transform_engine`` (transform.TransformEngine) runs between
     normalize and dedup with event_id/seq/op/key columns protected
@@ -237,7 +261,9 @@ def apply_batch(
                     F.when(_unseen_keys_flag(payload_schema), 1).otherwise(0)
                 ).alias("unseen"),
             )
-        flat = normalize(raw, payload_schema, key_cols=key_cols)
+        flat = normalize(
+            raw, payload_schema, key_cols=key_cols, partial_updates=partial_updates
+        )
         if transform_engine is not None:
             flat, dead = transform_engine.apply(flat)
             if dead is not None and table.is_committed(batch_key) is None:
@@ -256,7 +282,10 @@ def apply_batch(
         # identical (key, seq), so the per-key LWW window already collapses
         # them (tiebreak on event_id keeps it deterministic) — one shuffle
         # instead of two. dedup.dedup_exact remains for standalone use.
-        prepared = lww_latest(flat, key_cols, "seq")
+        if partial_updates:
+            prepared = lww_collapse_partial(flat, key_cols, "seq")
+        else:
+            prepared = lww_latest(flat, key_cols, "seq")
 
         def _check(obs=obs_unseen):
             if int(obs.get["unseen"] or 0) > 0:
@@ -270,6 +299,7 @@ def apply_batch(
                 files_per_bucket=files_per_bucket,
                 compact_after_deltas=compact_after_deltas,
                 pre_commit_check=_check if detect else None,
+                tombstone_retention=tombstone_retention,
             )
             break
         except _SchemaStale:
@@ -341,6 +371,8 @@ def replay_feed(
     compact_after_deltas: int = 8,
     write_metrics: bool = True,
     stream_name: str = "feed",
+    partial_updates: bool = False,
+    tombstone_retention: int | None = None,
 ) -> list[BatchResult]:
     """Batch-mode replay of a partitioned feed directory, one MERGE per
     batch partition — semantically identical to the streaming path
@@ -379,6 +411,8 @@ def replay_feed(
                 compact_after_deltas=compact_after_deltas,
                 write_metrics=write_metrics,
                 schema_tracker=tracker,
+                partial_updates=partial_updates,
+                tombstone_retention=tombstone_retention,
             )
         )
     return out

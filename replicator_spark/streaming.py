@@ -47,6 +47,8 @@ def run_stream(
     stream_name: str = "cdc",
     mode: str = "cow",
     files_per_bucket: int | str | None = "auto",
+    partial_updates: bool = False,
+    tombstone_retention: int | None = None,
 ):
     """Start the CDC streaming query; returns the StreamingQuery.
 
@@ -76,6 +78,8 @@ def run_stream(
             mode=mode,
             files_per_bucket=files_per_bucket,
             schema_tracker=tracker,
+            partial_updates=partial_updates,
+            tombstone_retention=tombstone_retention,
         )
 
     writer = (

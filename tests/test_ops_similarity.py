@@ -106,3 +106,28 @@ def test_ivf_recall_and_twin(spark, vecs):
     assert recall >= 0.5, f"recall {recall}"
     # the planted near-identical twin shares a cell at any sane quantizer
     assert (0, 1) in a
+
+
+def test_blocked_near_dup_auto_blocks_and_tiny_budget(spark, vecs):
+    """VERDICT r01 #8: n_blocks auto-derives from corpus count × dim so
+    a block stays under the byte budget (collect_list row ceiling). The
+    result must be identical under the default and under a forced tiny
+    budget (many blocks)."""
+    df, _ = vecs
+    thr = 0.3
+    ref = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in cosine_near_dup_blocked(df, threshold=thr, n_blocks=5).collect()
+    }
+    auto = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in cosine_near_dup_blocked(df, threshold=thr).collect()
+    }
+    # tiny budget: every block ≈ one vector
+    tiny = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in cosine_near_dup_blocked(
+            df, threshold=thr, block_budget_bytes=256
+        ).collect()
+    }
+    assert auto == ref and tiny == ref
