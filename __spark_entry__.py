@@ -687,6 +687,64 @@ FROM feed
 """
 
 
+def q_source_cosmos_normalize(spark, sf_dir):
+    """Cosmos change-feed normalize (S8): continuation-token high-water
+    scan over ``_ts`` + recency-based op-type inference + op filters
+    (``cosmosdb.go:276-324,373-421``). Documents wrap the feed's commit/
+    value with a ``_ts`` metadata field; the newest half of the window
+    infers as insert, the oldest quarter falls below the token."""
+    from replicator_spark.sources.normalize import from_cosmos_documents
+
+    feed = _feed(spark, sf_dir)
+    docs = feed.select(
+        "seq",
+        F.to_json(
+            F.struct(
+                F.col("commit").alias("id"),
+                F.unix_timestamp("ts").alias("_ts"),
+                F.col("value").alias("v"),
+            )
+        ).alias("doc"),
+    )
+    mn, mx = feed.agg(
+        F.min(F.unix_timestamp("ts")), F.max(F.unix_timestamp("ts"))
+    ).first()
+    out = from_cosmos_documents(
+        docs,
+        db="appdb",
+        container="docs",
+        now_ts=mx,
+        high_water_ts=mn + (mx - mn) // 4,
+        recency_window_s=(mx - mn) // 2,
+    )
+    return out.select(
+        "seq",
+        "op",
+        "db",
+        "tbl",
+        F.get_json_object("doc", "$.id").alias("id"),
+        F.col("_ts").alias("ts_epoch"),
+        F.round(F.get_json_object("doc", "$.v").cast("double"), 2).alias("v"),
+    )
+
+
+SQL_source_cosmos_normalize = f"""
+WITH {_FEED_CTE},
+e AS (SELECT seq, "commit", value,
+             -- floor, not cast: Spark's unix_timestamp truncates
+             -- sub-second parts while a BIGINT cast would round
+             CAST(floor(epoch(ts)) AS BIGINT) AS ets FROM feed),
+b AS (SELECT MAX(ets) AS mx, MIN(ets) AS mn FROM e)
+SELECT seq,
+       CASE WHEN b.mx - e.ets < (b.mx - b.mn) // 2 THEN 'insert'
+            ELSE 'update' END AS op,
+       'appdb' AS db, 'docs' AS tbl,
+       e."commit" AS id, e.ets AS ts_epoch, round(e.value, 2) AS v
+FROM e, b
+WHERE e.ets > b.mn + (b.mx - b.mn) // 4
+"""
+
+
 def q_source_mongo_normalize(spark, sf_dir):
     """Mongo change-event normalize (S4): operationType mapping
     (replace→update), delete ⇒ empty doc, missing fullDocument ⇒
@@ -1258,6 +1316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_pg_normalize": q_source_pg_normalize,
         "source_kafka_normalize": q_source_kafka_normalize,
         "source_mongo_normalize": q_source_mongo_normalize,
+        "source_cosmos_normalize": q_source_cosmos_normalize,
         "transform_dead_letter": q_transform_dead_letter,
         # stateful engine roundtrips, hash-verified against LWW SQL:
         "cdc_replay_roundtrip": q_cdc_replay_roundtrip,
@@ -1305,6 +1364,7 @@ def oracle_sql() -> dict[str, str]:
         "source_pg_normalize": SQL_source_pg_normalize,
         "source_kafka_normalize": SQL_source_kafka_normalize,
         "source_mongo_normalize": SQL_source_mongo_normalize,
+        "source_cosmos_normalize": SQL_source_cosmos_normalize,
         "transform_dead_letter": SQL_transform_dead_letter,
         "cdc_replay_roundtrip": SQL_cdc_replay_roundtrip,
         "schema_evolution_roundtrip": SQL_schema_evolution_roundtrip,

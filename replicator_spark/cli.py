@@ -122,6 +122,25 @@ def cmd_run(cfg: JobConfig) -> int:
     return 0
 
 
+def cmd_lifecycle(cmd: str, table_root: str, stream: str | None) -> int:
+    """pause / resume / status — the reference's per-stream lifecycle
+    API (``pkg/api/streams.go``; states ``pkg/models/models.go:78-105``)
+    as CLI subcommands over the marker + snapshot-log state."""
+    from . import lifecycle
+
+    if cmd == "status":
+        print(json.dumps(lifecycle.status(table_root), indent=2))
+        return 0
+    if not stream:
+        print("error: --stream is required for pause/resume", file=sys.stderr)
+        return 1
+    out = lifecycle.pause(table_root, stream) if cmd == "pause" else lifecycle.resume(
+        table_root, stream
+    )
+    print(json.dumps(out))
+    return 0
+
+
 def cmd_metrics(table_root: str) -> int:
     """Print cumulative counters in Prometheus exposition format — the
     reference's ``/metrics`` endpoint (``pkg/api/metrics.go``) as a CLI."""
@@ -139,10 +158,16 @@ def main(argv: list[str] | None = None) -> int:
         sp.add_argument("--config", required=True)
     mp = sub.add_parser("metrics")
     mp.add_argument("--table-root", required=True)
+    for c in ("pause", "resume", "status"):
+        lp = sub.add_parser(c)
+        lp.add_argument("--table-root", required=True)
+        lp.add_argument("--stream", default=None)
     args = p.parse_args(argv)
 
     if args.cmd == "metrics":
         return cmd_metrics(args.table_root)
+    if args.cmd in ("pause", "resume", "status"):
+        return cmd_lifecycle(args.cmd, args.table_root, args.stream)
 
     cfg = load_config(args.config)
     errs = cfg.validate()

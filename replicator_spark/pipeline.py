@@ -387,8 +387,14 @@ def replay_feed(
 
     With ``payload_schema=None`` a SchemaTracker is created for the
     whole replay: the schema is inferred once, and additive evolution
-    mid-feed is caught losslessly by the pre-commit detection."""
+    mid-feed is caught losslessly by the pre-commit detection.
+
+    A pause marker (lifecycle.pause) for ``stream_name`` stops the
+    replay before the next batch; a later rerun after lifecycle.resume
+    continues from the ledger — committed batches replay as no-ops."""
     import os
+
+    from . import lifecycle
 
     tracker = SchemaTracker() if payload_schema is None else None
     if batches is None:
@@ -399,6 +405,8 @@ def replay_feed(
         )
     out = []
     for b in batches:
+        if lifecycle.is_paused(table.root, stream_name):
+            break
         bdf = spark.read.parquet(f"{feed_dir}/batch_id={b}")
         out.append(
             apply_batch(

@@ -108,6 +108,58 @@ def from_kafka_messages(
     return out
 
 
+def from_cosmos_documents(
+    df: DataFrame,
+    *,
+    db: str,
+    container: str,
+    now_ts: int,
+    high_water_ts: int | None = None,
+    recency_window_s: int = 5,
+    include_ops: Sequence[str] | None = None,
+    exclude_ops: Sequence[str] | None = None,
+    doc_col: str = "doc",
+) -> DataFrame:
+    """Cosmos DB change-feed normalize (S8 — ``pkg/streams/
+    cosmosdb.go``): the reference polls ``SELECT * FROM c ORDER BY
+    c._ts`` with a continuation token and infers the operation type from
+    document metadata, since the Cosmos change feed carries none.
+
+    * **Continuation token** (``cosmosdb.go:276-324``): the token is a
+      high-water mark over the ``_ts`` order; here that is an explicit
+      ``_ts > high_water_ts`` predicate — pushed into the scan, and the
+      caller persists the batch's max ``_ts`` as the next token (the
+      streaming checkpoint does this for free).
+    * **Op-type inference** (``cosmosdb.go:373-391``): a document whose
+      ``_ts`` is within ``recency_window_s`` of ``now_ts`` is a create
+      (→ canonical ``insert``); anything older is an ``update``. The
+      reference reads the wall clock; ``now_ts`` is explicit here so
+      replays are deterministic.
+    * **Operation filters** (``cosmosdb.go:393-421``): include list
+      wins, then exclude list — evaluated post-inference like the
+      reference.
+    * Event shape (``cosmosdb.go:349-360``): Action=op, Schema=database,
+      Collection=container, Data=the full document JSON.
+    """
+    ts = F.get_json_object(F.col(doc_col), "$._ts").cast("long")
+    out = df.withColumn("_ts", ts)
+    if high_water_ts is not None:
+        out = out.where(F.col("_ts") > F.lit(high_water_ts))
+    op = F.when(
+        (F.lit(now_ts) - F.col("_ts")) < F.lit(recency_window_s), F.lit("insert")
+    ).otherwise(F.lit("update"))
+    out = (
+        out.withColumn("op", op)
+        .withColumn("db", F.lit(db))
+        .withColumn("tbl", F.lit(container))
+    )
+    if include_ops:
+        out = out.where(F.col("op").isin(*[o.lower() for o in include_ops]))
+    if exclude_ops:
+        out = out.where(~F.col("op").isin(*[o.lower() for o in exclude_ops]))
+    return out
+
+
 def from_mongo_events(
     df: DataFrame,
     current_state: DataFrame | None = None,

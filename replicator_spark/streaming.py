@@ -95,7 +95,21 @@ def run_stream(
 
 
 def run_stream_to_completion(spark, feed_dir, table, checkpoint_dir, **kw):
+    """Replay-to-done, honoring the stream's pause marker: a pause stops
+    the query at the next poll (the in-flight micro-batch completes —
+    micro-batch is the pause granularity); resume + rerun continues from
+    the checkpoint/ledger."""
+    import time
+
+    from . import lifecycle
+
+    stream_name = kw.get("stream_name", "cdc")
     q = run_stream(spark, feed_dir, table, checkpoint_dir, available_now=True, **kw)
+    while q.isActive:
+        if lifecycle.is_paused(table.root, stream_name):
+            q.stop()
+            break
+        time.sleep(0.2)
     q.awaitTermination()
     return q
 

@@ -77,3 +77,49 @@ def test_prometheus_text_format(spark, tmp_path):
     received = sum(r.received for r in res)
     assert f"replicator_received_records_total {received}" in text
     assert f"replicator_batches_total {len(res)}" in text
+
+
+def test_pause_resume_roundtrip_final_state_intact(spark, tmp_path):
+    """Lifecycle round-trip (pkg/api/streams.go analogue): pause stops a
+    replay mid-feed, resume + rerun continues from the ledger, and the
+    final state equals an uninterrupted replay."""
+    import json as _json
+
+    from replicator_spark.cli import main as cli_main
+    from replicator_spark.feedgen import gen_changes, write_feed
+    from replicator_spark.laketable import LakeTable
+    from replicator_spark.model import REPOS_SCHEMA
+    from replicator_spark.pipeline import replay_feed
+
+    feed = str(tmp_path / "feed")
+    write_feed(gen_changes(spark, 2000, n_repos=6, n_batches=4), feed)
+
+    # reference run: uninterrupted
+    ref = LakeTable(spark, str(tmp_path / "ref"))
+    ref.create(REPOS_SCHEMA, num_buckets=4)
+    replay_feed(spark, feed, ref, mode="mor", write_metrics=False)
+    want = ref.read().count()
+
+    t = LakeTable(spark, str(tmp_path / "t"))
+    t.create(REPOS_SCHEMA, num_buckets=4)
+    # apply 2 of 4 batches, then pause via the CLI
+    replay_feed(spark, feed, t, batches=[0, 1], mode="mor", write_metrics=False)
+    assert cli_main(["pause", "--table-root", t.root, "--stream", "feed"]) == 0
+
+    # paused: a full replay applies NOTHING further
+    res = replay_feed(spark, feed, t, mode="mor", write_metrics=False)
+    assert res == []  # stopped before the first batch
+    assert len(t.committed_batches()) == 2
+
+    # status reflects the pause
+    from replicator_spark.lifecycle import status
+
+    st = status(t.root)
+    assert st["streams"]["feed"]["state"] == "paused"
+    assert st["streams"]["feed"]["last_batch"] == 1
+
+    # resume: rerun completes; batches 0-1 replay as no-ops
+    assert cli_main(["resume", "--table-root", t.root, "--stream", "feed"]) == 0
+    res = replay_feed(spark, feed, t, mode="mor", write_metrics=False)
+    assert [r.merge.replayed for r in res] == [True, True, False, False]
+    assert t.read().count() == want

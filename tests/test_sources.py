@@ -154,3 +154,38 @@ def test_extended_json_decode(spark):
         "plain": "keep",
     }
     assert rows[1]["d"] == "{}" and rows[2]["d"] is None
+
+
+def test_cosmos_normalize_token_inference_filters(spark):
+    """from_cosmos_documents: high-water-mark scan (continuation-token
+    analog), _ts-recency op inference, include/exclude op filters
+    (cosmosdb.go:276-324,373-421)."""
+    from replicator_spark.sources.normalize import from_cosmos_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, '{"id":"a","_ts":100}'),   # below token → dropped
+            (2, '{"id":"b","_ts":500}'),   # old → update
+            (3, '{"id":"c","_ts":998}'),   # recent → insert
+        ],
+        "seq long, doc string",
+    )
+    out = from_cosmos_documents(
+        docs, db="d", container="c", now_ts=1000,
+        high_water_ts=200, recency_window_s=5,
+    )
+    rows = {r["seq"]: r for r in out.collect()}
+    assert set(rows) == {2, 3}
+    assert rows[2]["op"] == "update" and rows[3]["op"] == "insert"
+    assert rows[2]["db"] == "d" and rows[2]["tbl"] == "c"
+
+    only_ins = from_cosmos_documents(
+        docs, db="d", container="c", now_ts=1000,
+        high_water_ts=None, recency_window_s=5, include_ops=["INSERT"],
+    )
+    assert [r["seq"] for r in only_ins.collect()] == [3]
+    no_upd = from_cosmos_documents(
+        docs, db="d", container="c", now_ts=1000,
+        recency_window_s=5, exclude_ops=["update"],
+    )
+    assert [r["seq"] for r in no_upd.collect()] == [3]
