@@ -258,6 +258,7 @@ def ivf_knn(
     n_probe: int = 4,
     seed: int = 42,
     round_to: int | None = 4,
+    train_fraction: float | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k via an IVF-flat index.
 
@@ -268,6 +269,12 @@ def ivf_knn(
     form but with data-adaptive partitions. Query→cell routing runs as
     one Arrow-batch matmul against the centroid matrix (driver-side
     model, executor-side kernel).
+
+    ``train_fraction``: train the quantizer on a deterministic sample of
+    the corpus instead of all of it — the 100-TB path (a coarse
+    quantizer needs ~100–1000 points per centroid, not the corpus; IVF
+    assignment of the FULL corpus still happens, that's the one cheap
+    pass). None trains on everything (small-corpus default).
     """
     import numpy as np
     from pyspark.ml.clustering import KMeans
@@ -281,11 +288,16 @@ def ivf_knn(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
     )
 
-    train = c.withColumn("_fv", array_to_vector(F.col("cv")))
+    full = c.withColumn("_fv", array_to_vector(F.col("cv")))
+    train = (
+        full.sample(fraction=train_fraction, seed=seed)
+        if train_fraction is not None
+        else full
+    )
     model = KMeans(
         k=n_centroids, seed=seed, featuresCol="_fv", predictionCol="_cell"
     ).fit(train)
-    assigned = model.transform(train).select("neighbor_id", "cv", "_cell")
+    assigned = model.transform(full).select("neighbor_id", "cv", "_cell")
     cents = np.asarray([np.asarray(ct) for ct in model.clusterCenters()])
 
     probe = min(n_probe, len(cents))

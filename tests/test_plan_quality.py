@@ -69,7 +69,7 @@ def test_no_python_eval_in_cdc_queries(spark):
         "transform_shift_rename", "lookup_join_enrich", "knn_bruteforce",
         "text_quality_ops", "lang_id",
         "transform_engine_chain", "filter_regex_in",
-        "decimal_generated_column",
+        "decimal_generated_column", "source_cosmos_normalize",
     ]
     qs = entry.queries()
     for name in jvm_only:
@@ -83,6 +83,53 @@ def test_no_python_eval_in_cdc_queries(spark):
         plan = _plan(qs[name](spark, SF))
         assert "BatchEvalPython" not in plan, name
         assert "ArrowEvalPython" in plan, name
+
+
+def test_cosmos_high_water_pushed_to_scan(spark, tmp_path):
+    """The continuation-token analog (_ts > high_water) must reach the
+    parquet scan as a pushed filter — the incremental-scan property the
+    reference's token provides."""
+    from replicator_spark.sources.normalize import from_cosmos_documents
+
+    p = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, f'{{"id":"d{i}","_ts":{i}}}') for i in range(100)],
+        "seq long, doc string",
+    ).write.parquet(p)
+    # materialize _ts as a column on write for real feeds; for the JSON
+    # form the filter applies post-extract but BEFORE any join/agg
+    df = spark.read.parquet(p)
+    out = from_cosmos_documents(
+        df, db="d", container="c", now_ts=100, high_water_ts=50
+    )
+    plan = _plan(out)
+    assert "Filter" in plan and "BatchEvalPython" not in plan
+    assert out.count() == 49
+
+
+def test_partial_collapse_is_partial_aggregate_not_window(spark):
+    """lww_collapse_partial must keep the map-side-combine aggregation
+    shape of lww_latest — one shuffle, no window ranking."""
+    from replicator_spark.dedup import lww_collapse_partial
+
+    df = spark.range(100).select(
+        F.lit("r").alias("repo"),
+        (F.col("id") % 10).cast("string").alias("path"),
+        F.lit("c").alias("commit"),
+        F.col("id").alias("seq"),
+        (F.col("id") % 3 == 0).alias("_partial"),
+        F.lit("insert").alias("op"),
+        F.col("id").cast("string").alias("event_id"),
+        F.lit("x").alias("content"),
+    )
+    plan = _plan(lww_collapse_partial(df, KEY_COLS, "seq"), execute=True)
+    pre_exchange = plan.split("Exchange")[0]
+    assert "Aggregate" in pre_exchange, "partial aggregate must sit below the shuffle"
+    assert "Window" not in plan
+    # exactly one shuffle in the final plan tree (formatted output lists
+    # the tree again in the AQE initial-plan section — count the tree)
+    tree = plan.split("(1) ")[0]
+    assert tree.count("Exchange") <= 2, tree
 
 
 def test_whole_stage_codegen_in_final_state(spark):
