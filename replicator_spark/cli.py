@@ -35,6 +35,13 @@ class JobConfig:
     max_files_per_trigger: int | None = None
     transform_rules: list[dict] = field(default_factory=list)
     enabled: bool = True
+    # re-read the config file between micro-batches and apply changes on
+    # the fly (the reference's viper WatchConfig hot-reload,
+    # pkg/config/config.go:720): the running query restarts from its
+    # checkpoint under the new settings; enabled=false drains and stops
+    watch_config: bool = False
+    partial_updates: bool = False
+    tombstone_retention: int | None = None
 
     @staticmethod
     def from_dict(d: dict) -> "JobConfig":
@@ -84,20 +91,22 @@ def _build_engine(cfg: JobConfig):
     return TransformEngine(rules, protected=("event_id", "seq", "op", *KEY_COLS))
 
 
-def cmd_run(cfg: JobConfig) -> int:
-    from .laketable import LakeTable
-    from .model import REPOS_SCHEMA
-    from .pipeline import replay_feed
-    from .session import get_spark
-    from .streaming import run_stream_to_completion
+def run_streaming_watched(spark, cfg: JobConfig, table, config_path: str | None):
+    """Run the streaming job, honoring pause markers and (with
+    ``watch_config``) live config reloads: on a config-file change the
+    query drains, and — unless the new config disables the job — a new
+    query restarts from the same checkpoint under the new settings.
+    Invalid new configs are ignored (the reference logs and keeps the
+    old one). Returns the config that was in effect at exit."""
+    import os
+    import time
 
-    spark = get_spark(cfg.name)
-    table = LakeTable(spark, cfg.table_root)
-    if not table.exists():
-        table.create(REPOS_SCHEMA, num_buckets=cfg.num_buckets)
-    engine = _build_engine(cfg)
-    if cfg.streaming:
-        run_stream_to_completion(
+    from . import lifecycle
+    from .streaming import run_stream
+
+    while True:
+        engine = _build_engine(cfg)
+        q = run_stream(
             spark,
             cfg.feed_dir,
             table,
@@ -106,7 +115,55 @@ def cmd_run(cfg: JobConfig) -> int:
             files_per_bucket=cfg.files_per_bucket,
             max_files_per_trigger=cfg.max_files_per_trigger,
             stream_name=cfg.name,
+            partial_updates=cfg.partial_updates,
+            tombstone_retention=cfg.tombstone_retention,
+            transform_engine=engine,
         )
+        watching = cfg.watch_config and config_path
+        mtime = os.path.getmtime(config_path) if watching else None
+        reloaded = False
+        while q.isActive:
+            if lifecycle.is_paused(table.root, cfg.name):
+                q.stop()
+                break
+            if watching:
+                try:
+                    m2 = os.path.getmtime(config_path)
+                except OSError:
+                    m2 = mtime
+                if m2 != mtime:
+                    mtime = m2
+                    try:
+                        ncfg = load_config(config_path)
+                        if ncfg.validate():
+                            raise ValueError("invalid")
+                    except Exception:  # noqa: BLE001 — keep the old config
+                        pass
+                    else:
+                        cfg = ncfg
+                        q.stop()
+                        reloaded = True
+                        break
+            time.sleep(0.2)
+        q.awaitTermination()
+        if reloaded and cfg.enabled and not lifecycle.is_paused(table.root, cfg.name):
+            continue
+        return cfg
+
+
+def cmd_run(cfg: JobConfig, config_path: str | None = None) -> int:
+    from .laketable import LakeTable
+    from .model import REPOS_SCHEMA
+    from .pipeline import replay_feed
+    from .session import get_spark
+
+    spark = get_spark(cfg.name)
+    table = LakeTable(spark, cfg.table_root)
+    if not table.exists():
+        table.create(REPOS_SCHEMA, num_buckets=cfg.num_buckets)
+    engine = _build_engine(cfg)
+    if cfg.streaming:
+        run_streaming_watched(spark, cfg, table, config_path)
     else:
         replay_feed(
             spark,
@@ -116,6 +173,9 @@ def cmd_run(cfg: JobConfig) -> int:
             files_per_bucket=cfg.files_per_bucket,
             compact_after_deltas=cfg.compact_after_deltas,
             stream_name=cfg.name,  # namespace the ledger per stream
+            partial_updates=cfg.partial_updates,
+            tombstone_retention=cfg.tombstone_retention,
+            transform_engine=engine,
         )
     n = table.read().count()
     print(json.dumps({"job": cfg.name, "live_rows": n, "version": table._snap().version}))
@@ -141,6 +201,37 @@ def cmd_lifecycle(cmd: str, table_root: str, stream: str | None) -> int:
     return 0
 
 
+def cmd_compact(table_root: str, expire_below: int | None, retention: int | None) -> int:
+    """Maintenance compaction out of the hot apply path: fold mor delta
+    chains into base files; optionally expire tombstones below an
+    explicit seq or below (max applied seq − retention)."""
+    from .laketable import LakeTable
+    from .session import get_spark
+
+    spark = get_spark("compact")
+    table = LakeTable(spark, table_root)
+    snap = table._snap()
+    expire = expire_below
+    if expire is None and retention is not None:
+        max_seq = (snap.props or {}).get("max_seq")
+        if max_seq is not None:
+            expire = max_seq - retention
+    v = table.compact(expire_tombstones_below_seq=expire)
+    print(json.dumps({"table": table_root, "version": v, "expired_below": expire}))
+    return 0
+
+
+def cmd_history(table_root: str) -> int:
+    """Snapshot history (time-travel index) as JSON lines."""
+    from .laketable import LakeTable
+    from .session import get_spark
+
+    table = LakeTable(get_spark("history"), table_root)
+    for row in table.history():
+        print(json.dumps(row))
+    return 0
+
+
 def cmd_metrics(table_root: str) -> int:
     """Print cumulative counters in Prometheus exposition format — the
     reference's ``/metrics`` endpoint (``pkg/api/metrics.go``) as a CLI."""
@@ -162,12 +253,22 @@ def main(argv: list[str] | None = None) -> int:
         lp = sub.add_parser(c)
         lp.add_argument("--table-root", required=True)
         lp.add_argument("--stream", default=None)
+    cp = sub.add_parser("compact")
+    cp.add_argument("--table-root", required=True)
+    cp.add_argument("--expire-below", type=int, default=None)
+    cp.add_argument("--tombstone-retention", type=int, default=None)
+    hp = sub.add_parser("history")
+    hp.add_argument("--table-root", required=True)
     args = p.parse_args(argv)
 
     if args.cmd == "metrics":
         return cmd_metrics(args.table_root)
     if args.cmd in ("pause", "resume", "status"):
         return cmd_lifecycle(args.cmd, args.table_root, args.stream)
+    if args.cmd == "compact":
+        return cmd_compact(args.table_root, args.expire_below, args.tombstone_retention)
+    if args.cmd == "history":
+        return cmd_history(args.table_root)
 
     cfg = load_config(args.config)
     errs = cfg.validate()
@@ -183,7 +284,7 @@ def main(argv: list[str] | None = None) -> int:
     if errs:
         print("\n".join(f"error: {e}" for e in errs), file=sys.stderr)
         return 1
-    return cmd_run(cfg)
+    return cmd_run(cfg, config_path=args.config)
 
 
 if __name__ == "__main__":

@@ -205,6 +205,7 @@ def apply_batch(
     schema_tracker: SchemaTracker | None = None,
     partial_updates: bool = False,
     tombstone_retention: int | None = None,
+    ledger_keep: int | None = 1024,
 ) -> BatchResult:
     """Normalize + transform + LWW dedup + MERGE one micro-batch,
     idempotently.
@@ -300,6 +301,7 @@ def apply_batch(
                 compact_after_deltas=compact_after_deltas,
                 pre_commit_check=_check if detect else None,
                 tombstone_retention=tombstone_retention,
+                ledger_keep=ledger_keep,
             )
             break
         except _SchemaStale:
@@ -373,6 +375,8 @@ def replay_feed(
     stream_name: str = "feed",
     partial_updates: bool = False,
     tombstone_retention: int | None = None,
+    transform_engine=None,
+    ledger_keep: int | None = 1024,
 ) -> list[BatchResult]:
     """Batch-mode replay of a partitioned feed directory, one MERGE per
     batch partition — semantically identical to the streaming path
@@ -421,6 +425,8 @@ def replay_feed(
                 schema_tracker=tracker,
                 partial_updates=partial_updates,
                 tombstone_retention=tombstone_retention,
+                transform_engine=transform_engine,
+                ledger_keep=ledger_keep,
             )
         )
     return out

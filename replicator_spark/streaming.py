@@ -49,6 +49,8 @@ def run_stream(
     files_per_bucket: int | str | None = "auto",
     partial_updates: bool = False,
     tombstone_retention: int | None = None,
+    transform_engine=None,
+    ledger_keep: int | None = 1024,
 ):
     """Start the CDC streaming query; returns the StreamingQuery.
 
@@ -80,6 +82,8 @@ def run_stream(
             schema_tracker=tracker,
             partial_updates=partial_updates,
             tombstone_retention=tombstone_retention,
+            transform_engine=transform_engine,
+            ledger_keep=ledger_keep,
         )
 
     writer = (

@@ -123,3 +123,145 @@ def test_pause_resume_roundtrip_final_state_intact(spark, tmp_path):
     res = replay_feed(spark, feed, t, mode="mor", write_metrics=False)
     assert [r.merge.replayed for r in res] == [True, True, False, False]
     assert t.read().count() == want
+
+
+def test_streaming_job_applies_transform_rules(spark, tmp_path):
+    """Regression: the CLI's streaming path used to drop transform_rules
+    on the floor (run_stream never received the engine)."""
+    import json as _json
+
+    from replicator_spark.cli import main as cli_main
+    from replicator_spark.feedgen import gen_changes, write_feed
+    from replicator_spark.laketable import LakeTable
+
+    feed = str(tmp_path / "feed")
+    write_feed(gen_changes(spark, 600, n_repos=4, n_batches=2), feed)
+    cfg = {
+        "name": "sjob",
+        "feed_dir": feed,
+        "table_root": str(tmp_path / "t"),
+        "checkpoint_dir": str(tmp_path / "ckpt"),
+        "mode": "mor",
+        "streaming": True,
+        "num_buckets": 4,
+        "transform_rules": [
+            {
+                "name": "tag",
+                "actions": [{"type": "set", "spec": {"pipeline_tag": "v2"}}],
+            }
+        ],
+    }
+    p = tmp_path / "job.json"
+    p.write_text(_json.dumps(cfg))
+    assert cli_main(["run", "--config", str(p)]) == 0
+    t = LakeTable(spark, cfg["table_root"])
+    assert "pipeline_tag" in t.schema().fieldNames()
+    live = t.read()
+    assert live.where("pipeline_tag = 'v2'").count() == live.count() > 0
+
+
+def test_watch_config_disable_drains_and_stops(spark, tmp_path):
+    """Config hot-reload (viper WatchConfig analogue): flipping
+    enabled=false in the watched file stops the streaming job at a batch
+    boundary; a later rerun resumes from the checkpoint."""
+    import json as _json
+    import threading
+    import time
+
+    from replicator_spark.cli import JobConfig, run_streaming_watched
+    from replicator_spark.feedgen import gen_changes, write_feed
+    from replicator_spark.laketable import LakeTable
+    from replicator_spark.model import REPOS_SCHEMA
+
+    feed = str(tmp_path / "feed")
+    write_feed(gen_changes(spark, 4000, n_repos=6, n_batches=12), feed)
+    root = str(tmp_path / "t")
+    cfg_d = {
+        "name": "wjob",
+        "feed_dir": feed,
+        "table_root": root,
+        "checkpoint_dir": str(tmp_path / "ckpt"),
+        "mode": "mor",
+        "streaming": True,
+        "num_buckets": 4,
+        "max_files_per_trigger": 1,
+        "watch_config": True,
+    }
+    p = tmp_path / "job.json"
+    p.write_text(_json.dumps(cfg_d))
+    table = LakeTable(spark, root)
+    table.create(REPOS_SCHEMA, num_buckets=4)
+
+    done = {}
+
+    def _run():
+        done["cfg"] = run_streaming_watched(
+            spark, JobConfig.from_dict(cfg_d), table, str(p)
+        )
+
+    th = threading.Thread(target=_run)
+    th.start()
+    # wait until a couple of batches committed, then disable via the file
+    deadline = time.time() + 120
+    while time.time() < deadline and len(table.committed_batches()) < 2:
+        time.sleep(0.2)
+    n_at_flip = len(table.committed_batches())
+    assert n_at_flip >= 2
+    time.sleep(0.05)  # mtime granularity
+    p.write_text(_json.dumps({**cfg_d, "enabled": False}))
+    th.join(timeout=120)
+    assert not th.is_alive()
+    assert done["cfg"].enabled is False  # the reloaded config took effect
+    # resume later: rerun with enabled config completes from checkpoint
+    done2 = {}
+    p.write_text(_json.dumps(cfg_d))
+
+    def _run2():
+        done2["cfg"] = run_streaming_watched(
+            spark, JobConfig.from_dict(cfg_d), table, str(p)
+        )
+
+    th2 = threading.Thread(target=_run2)
+    th2.start()
+    th2.join(timeout=180)
+    assert not th2.is_alive()
+    # note: maxFilesPerTrigger=1 triggers per FILE, so micro-batch count
+    # exceeds the feed's 12 batch dirs — compare final state instead
+    assert len(table.committed_batches()) > n_at_flip
+    from replicator_spark.pipeline import replay_feed
+
+    ref = LakeTable(spark, str(tmp_path / "ref"))
+    ref.create(REPOS_SCHEMA, num_buckets=4)
+    replay_feed(spark, feed, ref, mode="mor", write_metrics=False)
+    assert table.read().count() == ref.read().count()
+
+
+def test_compact_and_history_subcommands(spark, tmp_path, capsys):
+    import json as _json
+
+    from replicator_spark.cli import main as cli_main
+    from replicator_spark.feedgen import gen_changes, write_feed
+    from replicator_spark.laketable import LakeTable
+    from replicator_spark.model import REPOS_SCHEMA
+    from replicator_spark.pipeline import replay_feed
+
+    feed = str(tmp_path / "feed")
+    write_feed(gen_changes(spark, 800, n_repos=4, n_batches=2), feed)
+    t = LakeTable(spark, str(tmp_path / "t"))
+    t.create(REPOS_SCHEMA, num_buckets=4)
+    replay_feed(spark, feed, t, mode="mor", write_metrics=False, compact_after_deltas=99)
+    before = t.read().count()
+
+    assert cli_main(["compact", "--table-root", t.root]) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["version"] == t._snap().version
+    assert t.read().count() == before
+    # deltas folded into base
+    assert not any((t._snap().props or {}).get("deltas", {}).values())
+
+    assert cli_main(["history", "--table-root", t.root]) == 0
+    lines = [
+        _json.loads(x) for x in capsys.readouterr().out.strip().splitlines() if x
+    ]
+    assert lines[-1]["version"] == t._snap().version
+    assert len(lines) >= 3  # create + 2 merges + compaction
