@@ -885,6 +885,146 @@ FROM documents
 """
 
 
+def q_boilerplate_lines(spark, sf_dir):
+    """Corpus-boilerplate detection (CCNet/RefinedWeb line filter): a
+    line in >= 3 distinct docs is boilerplate; per-doc line counts."""
+    from replicator_spark.ops.text import boilerplate_line_stats
+
+    docs = _load(spark, sf_dir, "documents")
+    # the synthetic docs are single-line; plant deterministic line
+    # breaks so the line-level operator has real lines to work on
+    docs = docs.select(
+        "doc_id",
+        F.replace(F.col("text"), F.lit(" table "), F.lit("\ntable ")).alias("text"),
+    )
+    return boilerplate_line_stats(docs, min_docs=3).select(
+        "doc_id", "n_lines", F.col("n_boilerplate_lines").cast("long").alias("n_boilerplate_lines")
+    )
+
+
+SQL_boilerplate_lines = """
+WITH lines AS (
+  SELECT doc_id,
+         unnest(string_split(replace(text, ' table ', chr(10) || 'table '),
+                             chr(10))) AS line
+  FROM documents
+),
+bp AS (
+  SELECT line FROM (
+    SELECT line, COUNT(DISTINCT doc_id) AS n FROM lines GROUP BY 1
+  ) WHERE n >= 3
+)
+SELECT l.doc_id, COUNT(*) AS n_lines,
+       CAST(SUM(CASE WHEN b.line IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_boilerplate_lines
+FROM lines l LEFT JOIN bp b ON l.line = b.line
+GROUP BY 1
+"""
+
+
+def q_dataset_split(spark, sf_dir):
+    """Deterministic train/val/test assignment by salted content hash —
+    stable across runs/cluster sizes, no RNG (held-out split primitive)."""
+    from replicator_spark.ops.text import hash_split
+
+    docs = _load(spark, sf_dir, "documents")
+    return hash_split(docs, "doc_id").select("doc_id", "split")
+
+
+SQL_dataset_split = """
+SELECT doc_id,
+       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':split-v1'), 1, 8) < 'e6666666' THEN 'train'
+            WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':split-v1'), 1, 8) < 'f3333333' THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
+def q_pii_redaction(spark, sf_dir):
+    """Regex PII scrubbing (emails/URLs/number runs). The corpus is
+    synthetic, so deterministic PII is planted per doc, then redacted;
+    the oracle replicates both steps."""
+    from replicator_spark.ops.text import redact_pii
+
+    docs = _load(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 80),
+            F.lit(" contact: user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com via https://ex.com/u/"), F.col("doc_id").cast("string"),
+            F.lit(" tel 12345-678-"), F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    out = redact_pii(planted)
+    return out.select("doc_id", F.sha2("redacted", 256).alias("redacted_sha"))
+
+
+SQL_pii_redaction = """
+WITH planted AS (
+  SELECT doc_id,
+         substr(text, 1, 80) || ' contact: user' || CAST(doc_id AS VARCHAR)
+         || '@example.com via https://ex.com/u/' || CAST(doc_id AS VARCHAR)
+         || ' tel 12345-678-' || CAST(doc_id AS VARCHAR) AS text
+  FROM documents
+)
+SELECT doc_id,
+       sha256(
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g'),
+             'https?://[^\\s]+', '<URL>', 'g'),
+           '[0-9][0-9 \\-]{6,}[0-9]', '<NUM>', 'g')
+       ) AS redacted_sha
+FROM planted
+"""
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """End-stage dedup: connected components over verified near-dup
+    pairs (5-gram jaccard >= 0.5 on a bounded id range) — every doc
+    labeled with its cluster's canonical (minimum) id via distributed
+    min-label propagation; oracle = recursive-CTE transitive closure."""
+    from replicator_spark.ops.dedup_text import connected_components, ngram_jaccard_pairs
+
+    docs = _load(spark, sf_dir, "documents").where(F.col("doc_id") < 60)
+    cands = (
+        docs.select(F.col("doc_id").alias("id_a"))
+        .crossJoin(docs.select(F.col("doc_id").alias("id_b")))
+        .where(F.col("id_a") < F.col("id_b"))
+    )
+    pairs = ngram_jaccard_pairs(docs, cands, threshold=0.5)
+    return connected_components(pairs, docs, "doc_id")
+
+
+SQL_dedup_clusters = """
+WITH RECURSIVE sh AS (
+  SELECT doc_id,
+         list_distinct([substr(text, i, 5)
+                        for i in range(1, greatest(length(text) - 3, 2))]) AS s
+  FROM documents WHERE doc_id < 60
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.s, b.s))), 4) >= 0.5
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(id, root) AS (
+  SELECT doc_id, doc_id FROM documents WHERE doc_id < 60
+  UNION
+  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.id
+)
+SELECT id AS doc_id, MIN(root) AS cluster FROM reach GROUP BY 1
+"""
+
+
 def q_knn_bruteforce(spark, sf_dir):
     """Brute-force cosine top-3 neighbors for query vectors 0-4
     (similarity-search baseline; JVM-side F.zip_with/F.aggregate)."""
@@ -1332,6 +1472,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_near_dup": q_embedding_near_dup,
+        "boilerplate_lines": q_boilerplate_lines,
+        "dataset_split": q_dataset_split,
+        "pii_redaction": q_pii_redaction,
+        "dedup_clusters": q_dedup_clusters,
         # rows-only (no ANSI-SQL equivalent):
         "minhash_lsh": q_minhash_lsh,
         "simhash_dedup": q_simhash_dedup,
@@ -1379,4 +1523,8 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": SQL_lang_id,
         "ngram_jaccard": SQL_ngram_jaccard,
         "embedding_near_dup": SQL_embedding_near_dup,
+        "boilerplate_lines": SQL_boilerplate_lines,
+        "dataset_split": SQL_dataset_split,
+        "pii_redaction": SQL_pii_redaction,
+        "dedup_clusters": SQL_dedup_clusters,
     }

@@ -206,6 +206,71 @@ def ngram_jaccard_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    ids: DataFrame,
+    id_col: str = "doc_id",
+    *,
+    max_iters: int = 50,
+) -> DataFrame:
+    """Duplicate clusters from near-dup pairs: per node, the minimum
+    reachable id (the canonical representative) via iterative min-label
+    propagation — the standard large-graph connected-components layout
+    (hash-partitioned joins, no driver-side graph; converges in
+    O(cluster diameter) rounds, and dup clusters are shallow).
+
+    ``pairs``: (id_a, id_b) candidate/verified duplicate edges.
+    ``ids``: one row per document (isolated docs form their own
+    cluster). Returns (id, cluster) where cluster = min id in the
+    component. Each round is two shuffles on the id; lineage is cut per
+    round with localCheckpoint so plans stay flat at many iterations.
+    """
+    edges = (
+        pairs.selectExpr(f"id_a as src", f"id_b as dst")
+        .unionByName(pairs.selectExpr("id_b as src", "id_a as dst"))
+        .distinct()
+    )
+    labels = ids.select(
+        F.col(id_col).alias("id"), F.col(id_col).alias("cluster")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iters):
+        neigh = (
+            edges.join(labels, edges["src"] == labels["id"], "inner")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("cluster").alias("n_min"))
+        )
+        nxt = (
+            labels.join(neigh, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster"), F.coalesce(F.col("n_min"), F.col("cluster"))
+                ).alias("cluster"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            nxt.join(labels.withColumnRenamed("cluster", "old"), "id")
+            .where(F.col("cluster") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels = nxt
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias(id_col), "cluster")
+
+
+def keep_canonical(
+    df: DataFrame, clusters: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Collapse each duplicate cluster to its canonical (minimum-id)
+    document — the final stage of the dedup pipeline."""
+    return df.join(clusters, id_col).where(F.col(id_col) == F.col("cluster")).drop(
+        "cluster"
+    )
+
+
 def simhash64(
     df: DataFrame,
     text_col: str = "text",

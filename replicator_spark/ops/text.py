@@ -94,6 +94,109 @@ def quality_features(
     )
 
 
+def boilerplate_line_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    min_docs: int = 3,
+) -> DataFrame:
+    """Corpus-level boilerplate detection (the CCNet/RefinedWeb trick):
+    a line appearing in ≥ ``min_docs`` distinct documents is boilerplate
+    (headers, footers, nav chrome, license banners). Returns per-doc
+    (n_lines, n_boilerplate_lines). One explode + one shuffle on the
+    line value — at 100 TB the groupBy key is the line string (or hash
+    it first); no cross-document comparison ever happens."""
+    lines = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), "\n")).alias("line")
+    )
+    bp = (
+        lines.groupBy("line")
+        .agg(F.countDistinct(id_col).alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+        .select("line")
+    )
+    j = lines.join(bp.withColumn("_bp", F.lit(1)), "line", "left")
+    return j.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.coalesce(F.col("_bp"), F.lit(0))).alias("n_boilerplate_lines"),
+    )
+
+
+def strip_boilerplate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    min_docs: int = 3,
+) -> DataFrame:
+    """Remove corpus-boilerplate lines from each document, preserving
+    the remaining lines' order (array_filter keeps position)."""
+    lines = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), "\n")).alias("line")
+    )
+    bp = (
+        lines.groupBy("line")
+        .agg(F.countDistinct(id_col).alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+        .agg(F.collect_set("line").alias("bp"))
+    )
+    # the boilerplate set is corpus-small by construction (lines shared
+    # by many docs) → broadcast-joined as a single-row array
+    out = df.crossJoin(F.broadcast(bp))
+    kept = F.filter(
+        F.split(F.col(text_col), "\n"),
+        lambda ln: ~F.array_contains(F.coalesce(F.col("bp"), F.array()), ln),
+    )
+    return out.select(
+        F.col(id_col), F.array_join(kept, "\n").alias("clean_text")
+    )
+
+
+# hex thresholds over the md5-prefix space: lexicographic compare on
+# lowercase hex ≡ numeric compare, and both Spark and ANSI SQL engines
+# produce identical md5 strings — a portable deterministic splitter
+_SPLIT_BOUNDS = [("train", "e6666666"), ("val", "f3333333")]  # 0.9 / 0.05 / 0.05
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    *,
+    salt: str = "split-v1",
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment by content hash — the
+    held-out-split primitive a training pipeline needs: stable across
+    runs and cluster sizes, no RNG, reassignment only if the salt
+    changes. train/val/test ≈ 90/5/5 via md5-prefix thresholds."""
+    h = F.substring(F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))), 1, 8)
+    expr = F.when(h < _SPLIT_BOUNDS[0][1], F.lit("train")).when(
+        h < _SPLIT_BOUNDS[1][1], F.lit("val")
+    ).otherwise(F.lit("test"))
+    return df.withColumn(out_col, expr)
+
+
+# conservative, dialect-portable patterns (no lookarounds — identical
+# semantics in Java regex and RE2-style engines)
+PII_PATTERNS = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+", "<EMAIL>"),
+    (r"https?://[^\s]+", "<URL>"),
+    (r"[0-9][0-9 \-]{6,}[0-9]", "<NUM>"),  # phone/account-number runs
+]
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", out_col: str = "redacted"
+) -> DataFrame:
+    """Regex PII scrubbing (emails, URLs, long digit runs) — the
+    pre-training redaction pass, pure JVM regexp_replace."""
+    c = F.col(text_col)
+    for pat, tag in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, tag)
+    return df.withColumn(out_col, c)
+
+
 def doc_fingerprints(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", *, window: int = 8
 ) -> DataFrame:

@@ -140,3 +140,21 @@ def test_minhash_r8_banding_selective_with_high_recall(spark):
         assert hit / nt >= 0.9, (hit, nt)
     cand.unpersist()
     truth.unpersist()
+
+
+def test_connected_components_and_canonical(spark):
+    from replicator_spark.ops.dedup_text import connected_components, keep_canonical
+
+    ids = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    # components: {0,1,2,3} (chain), {5,6}, singletons {4}, {7}
+    pairs = spark.createDataFrame(
+        [(1, 0), (2, 1), (3, 2), (5, 6)], "id_a long, id_b long"
+    )
+    got = {r["doc_id"]: r["cluster"] for r in connected_components(pairs, ids).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 5, 6: 5, 7: 7}
+    docs = ids.withColumn("text", F.concat(F.lit("d"), F.col("doc_id").cast("string")))
+    kept = sorted(
+        r["doc_id"]
+        for r in keep_canonical(docs, connected_components(pairs, ids)).collect()
+    )
+    assert kept == [0, 4, 5, 7]

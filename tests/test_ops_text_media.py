@@ -89,3 +89,49 @@ def test_frame_sample_plan(spark):
     rows = plan.groupBy("media_id").agg(F.count(F.lit(1)).alias("n")).collect()
     assert len(rows) > 0
     assert all(r["n"] >= 1 for r in rows)
+
+
+def test_boilerplate_strip_preserves_order(spark):
+    from replicator_spark.ops.text import boilerplate_line_stats, strip_boilerplate
+
+    rows = [
+        (0, "unique alpha\nCOMMON FOOTER\nunique beta"),
+        (1, "something else\nCOMMON FOOTER"),
+        (2, "third doc\nCOMMON FOOTER\ntail"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    stats = {r["doc_id"]: r for r in boilerplate_line_stats(df, min_docs=3).collect()}
+    assert stats[0]["n_lines"] == 3 and stats[0]["n_boilerplate_lines"] == 1
+    clean = {r["doc_id"]: r["clean_text"] for r in strip_boilerplate(df, min_docs=3).collect()}
+    assert clean[0] == "unique alpha\nunique beta"  # order preserved
+    assert clean[1] == "something else"
+    assert clean[2] == "third doc\ntail"
+
+
+def test_hash_split_deterministic_and_proportioned(spark):
+    from replicator_spark.ops.text import hash_split
+
+    df = spark.range(5000).withColumnRenamed("id", "doc_id")
+    out = hash_split(df, "doc_id")
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").count().withColumnRenamed("count", "n").collect()}
+    assert abs(counts["train"] / 5000 - 0.9) < 0.02
+    assert abs(counts["val"] / 5000 - 0.05) < 0.02
+    assert abs(counts["test"] / 5000 - 0.05) < 0.02
+    # stable across invocations; different salt reshuffles
+    again = {r["doc_id"]: r["split"] for r in hash_split(df, "doc_id").collect()}
+    first = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert again == first
+    other = {r["doc_id"]: r["split"] for r in hash_split(df, "doc_id", salt="v2").collect()}
+    assert other != first
+
+
+def test_redact_pii_patterns(spark):
+    from replicator_spark.ops.text import redact_pii
+
+    df = spark.createDataFrame(
+        [(0, "mail a.b+c@ex-co.io or visit https://x.y/z?q=1 call 415-555-0199 ok")],
+        "doc_id long, text string",
+    )
+    out = redact_pii(df).first()["redacted"]
+    assert "<EMAIL>" in out and "<URL>" in out and "<NUM>" in out
+    assert "@" not in out and "https" not in out and "0199" not in out
