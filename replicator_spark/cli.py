@@ -96,13 +96,24 @@ def run_streaming_watched(spark, cfg: JobConfig, table, config_path: str | None)
     ``watch_config``) live config reloads: on a config-file change the
     query drains, and — unless the new config disables the job — a new
     query restarts from the same checkpoint under the new settings.
-    Invalid new configs are ignored (the reference logs and keeps the
-    old one). Returns the config that was in effect at exit."""
+    Invalid new configs are rejected with a warning and the old one
+    kept (the reference logs and keeps the old one). Only live-tunable
+    fields may change across a reload — identity fields (name,
+    table_root, checkpoint_dir, feed_dir, streaming) are pinned for the
+    job's lifetime, because they are baked into the table handle, the
+    offset WAL, and the ledger's batch-key namespace: e.g. a new
+    checkpoint_dir restarts Structured Streaming batch ids at 0, whose
+    keys are already in the committed ledger, and every micro-batch
+    would be silently dropped as a replay. A reload that touches a
+    pinned field is rejected wholesale. Returns the config in effect at
+    exit."""
     import os
     import time
 
     from . import lifecycle
     from .streaming import run_stream
+
+    PINNED = ("name", "table_root", "checkpoint_dir", "feed_dir", "streaming")
 
     while True:
         engine = _build_engine(cfg)
@@ -135,10 +146,22 @@ def run_streaming_watched(spark, cfg: JobConfig, table, config_path: str | None)
                     mtime = m2
                     try:
                         ncfg = load_config(config_path)
-                        if ncfg.validate():
-                            raise ValueError("invalid")
-                    except Exception:  # noqa: BLE001 — keep the old config
-                        pass
+                        errs = ncfg.validate()
+                        if errs:
+                            raise ValueError("; ".join(errs))
+                        changed_pinned = [
+                            f for f in PINNED
+                            if getattr(ncfg, f) != getattr(cfg, f)
+                        ]
+                        if changed_pinned:
+                            raise ValueError(
+                                f"pinned fields changed: {changed_pinned}"
+                            )
+                    except Exception as exc:  # noqa: BLE001 — keep old config
+                        print(
+                            f"warning: config reload rejected, keeping old: {exc}",
+                            file=sys.stderr,
+                        )
                     else:
                         cfg = ncfg
                         q.stop()

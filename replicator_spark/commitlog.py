@@ -65,8 +65,11 @@ class Snapshot:
     # committed_batches: n <= ledger_floor[stream] ⇒ committed
     ledger_floor: dict[str, int] = field(default_factory=dict)
 
-    def to_json(self) -> str:
-        return json.dumps(self.__dict__, sort_keys=True)
+    # NOTE: serialization lives in commit_snapshot/load_snapshot ONLY —
+    # the on-disk format externalizes file lists to content-addressed
+    # manifests; a naive json.dumps(self.__dict__) would write the
+    # pre-manifest O(total-files) format and reintroduce unbounded
+    # metadata. There is deliberately no to_json here.
 
     @staticmethod
     def from_json(s: str) -> "Snapshot":

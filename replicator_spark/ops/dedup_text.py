@@ -225,10 +225,14 @@ def connected_components(
     component. Each round is two shuffles on the id; lineage is cut per
     round with localCheckpoint so plans stay flat at many iterations.
     """
+    # checkpoint the (symmetrized) edge set ONCE: pairs usually comes
+    # from an expensive candidate-verify plan (LSH + jaccard), and the
+    # per-round joins must not re-execute that upstream every iteration
     edges = (
-        pairs.selectExpr(f"id_a as src", f"id_b as dst")
+        pairs.selectExpr("id_a as src", "id_b as dst")
         .unionByName(pairs.selectExpr("id_b as src", "id_a as dst"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     labels = ids.select(
         F.col(id_col).alias("id"), F.col(id_col).alias("cluster")
@@ -255,6 +259,9 @@ def connected_components(
             .limit(1)
             .count()
         )
+        # superseded rounds' checkpoint blocks are released by the
+        # ContextCleaner once the old DataFrame is garbage-collected
+        # (rebinding drops the last reference)
         labels = nxt
         if changed == 0:
             break

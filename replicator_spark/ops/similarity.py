@@ -106,9 +106,12 @@ def cosine_near_dup_blocked(
     if n_blocks is None:
         import math
 
-        first = df.select(vec_col).first()
-        n = df.count()
-        dim = len(first[0]) if first is not None and first[0] is not None else 1
+        # ONE job for both (n, dim) — not first()+count(), which would
+        # execute a non-trivial upstream plan twice
+        n, dim = df.agg(
+            F.count(F.lit(1)), F.first(F.size(F.col(vec_col)), ignorenulls=True)
+        ).first()
+        n, dim = int(n or 0), int(dim or 1)
         n_blocks = max(
             df.sparkSession.sparkContext.defaultParallelism // 2 or 1,
             math.ceil(n * dim * 8 / block_budget_bytes),

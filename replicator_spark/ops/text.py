@@ -155,8 +155,10 @@ def strip_boilerplate(
 
 # hex thresholds over the md5-prefix space: lexicographic compare on
 # lowercase hex ≡ numeric compare, and both Spark and ANSI SQL engines
-# produce identical md5 strings — a portable deterministic splitter
+# produce identical md5 strings — a portable deterministic splitter.
+# Everything above the last bound falls into _SPLIT_REST.
 _SPLIT_BOUNDS = [("train", "e6666666"), ("val", "f3333333")]  # 0.9 / 0.05 / 0.05
+_SPLIT_REST = "test"
 
 
 def hash_split(
@@ -171,10 +173,11 @@ def hash_split(
     runs and cluster sizes, no RNG, reassignment only if the salt
     changes. train/val/test ≈ 90/5/5 via md5-prefix thresholds."""
     h = F.substring(F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))), 1, 8)
-    expr = F.when(h < _SPLIT_BOUNDS[0][1], F.lit("train")).when(
-        h < _SPLIT_BOUNDS[1][1], F.lit("val")
-    ).otherwise(F.lit("test"))
-    return df.withColumn(out_col, expr)
+    expr = None
+    for label, bound in _SPLIT_BOUNDS:
+        cond = h < bound
+        expr = F.when(cond, F.lit(label)) if expr is None else expr.when(cond, F.lit(label))
+    return df.withColumn(out_col, expr.otherwise(F.lit(_SPLIT_REST)))
 
 
 # conservative, dialect-portable patterns (no lookarounds — identical

@@ -265,3 +265,55 @@ def test_compact_and_history_subcommands(spark, tmp_path, capsys):
     ]
     assert lines[-1]["version"] == t._snap().version
     assert len(lines) >= 3  # create + 2 merges + compaction
+
+
+def test_watch_config_rejects_pinned_field_change(spark, tmp_path, capsys):
+    """A reload that changes an identity field (checkpoint_dir etc.)
+    must be rejected wholesale — applying it half-way would reset batch
+    ids against the existing ledger and silently drop batches."""
+    import json as _json
+    import threading
+    import time
+
+    from replicator_spark.cli import JobConfig, run_streaming_watched
+    from replicator_spark.feedgen import gen_changes, write_feed
+    from replicator_spark.laketable import LakeTable
+    from replicator_spark.model import REPOS_SCHEMA
+
+    feed = str(tmp_path / "feed")
+    write_feed(gen_changes(spark, 2500, n_repos=6, n_batches=8), feed)
+    root = str(tmp_path / "t")
+    cfg_d = {
+        "name": "pjob",
+        "feed_dir": feed,
+        "table_root": root,
+        "checkpoint_dir": str(tmp_path / "ckpt"),
+        "mode": "mor",
+        "streaming": True,
+        "num_buckets": 4,
+        "max_files_per_trigger": 1,
+        "watch_config": True,
+    }
+    p = tmp_path / "job.json"
+    p.write_text(_json.dumps(cfg_d))
+    table = LakeTable(spark, root)
+    table.create(REPOS_SCHEMA, num_buckets=4)
+    done = {}
+
+    def _run():
+        done["cfg"] = run_streaming_watched(
+            spark, JobConfig.from_dict(cfg_d), table, str(p)
+        )
+
+    th = threading.Thread(target=_run)
+    th.start()
+    deadline = time.time() + 120
+    while time.time() < deadline and len(table.committed_batches()) < 1:
+        time.sleep(0.2)
+    time.sleep(0.05)
+    # attempt to move the checkpoint mid-run → must be rejected
+    p.write_text(_json.dumps({**cfg_d, "checkpoint_dir": str(tmp_path / "ckpt2")}))
+    th.join(timeout=180)
+    assert not th.is_alive()
+    # the job drained to completion under the ORIGINAL config
+    assert done["cfg"].checkpoint_dir == cfg_d["checkpoint_dir"]

@@ -70,6 +70,8 @@ def test_no_python_eval_in_cdc_queries(spark):
         "text_quality_ops", "lang_id",
         "transform_engine_chain", "filter_regex_in",
         "decimal_generated_column", "source_cosmos_normalize",
+        "boilerplate_lines", "dataset_split", "pii_redaction",
+        "dedup_clusters",
     ]
     qs = entry.queries()
     for name in jvm_only:
