@@ -596,6 +596,53 @@ FROM latest WHERE rn = 1 AND op <> 'delete'
 """
 
 
+def q_cdc_op_stats_streaming(spark, sf_dir):
+    """O4's Structured Streaming form: tumbling 1-hour event-time
+    windows × op with a 10-minute watermark, run as a real streaming
+    query (readStream → withWatermark → window agg → append sink). In
+    append mode a window is emitted only once the watermark passes its
+    end, so the trailing windows (within the watermark of max event
+    time) stay open — the oracle reproduces that emission rule."""
+    from replicator_spark.streaming import run_stats_stream
+
+    tmp = _scratch("op_stats_stream")
+    feed_dir, out_dir, ckpt = f"{tmp}/feed", f"{tmp}/out", f"{tmp}/ckpt"
+    f = _feed(spark, sf_dir)
+    ev = f.select(
+        F.concat(F.lit("e"), F.col("seq").cast("string")).alias("event_id"),
+        "seq",
+        "op",
+        "ts",
+        F.lit(None).cast("string").alias("db"),
+        F.lit(None).cast("string").alias("tbl"),
+        F.struct("repo", "path", "commit").alias("key"),
+        F.lit("{}").alias("doc"),
+        F.lit(None).cast("string").alias("old"),
+        F.lit(None).cast("map<string,string>").alias("meta"),
+        F.lit(0).alias("batch_id"),
+    )
+    ev.write.parquet(feed_dir)
+    q = run_stats_stream(
+        spark, feed_dir, out_dir, ckpt,
+        window="1 hour", watermark="10 minutes", max_files_per_trigger=100000,
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir).select("window_start", "op", "n_events")
+
+
+SQL_cdc_op_stats_streaming = f"""
+WITH {_FEED_CTE},
+w AS (
+  SELECT date_trunc('hour', ts) AS window_start, op, COUNT(*) AS n_events
+  FROM feed GROUP BY 1, 2
+),
+m AS (SELECT MAX(ts) AS mx FROM feed)
+SELECT w.window_start, w.op, w.n_events
+FROM w, m
+WHERE w.window_start + INTERVAL 1 HOUR <= m.mx - INTERVAL 10 MINUTE
+"""
+
+
 def q_source_mysql_normalize(spark, sf_dir):
     """MySQL row-event decode (S2/S6): positional JSON-array rows (the
     reference loses column names — ``mysql_stream.go:401-415``) →
@@ -1462,6 +1509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_replay_roundtrip": q_cdc_replay_roundtrip,
         "schema_evolution_roundtrip": q_schema_evolution_roundtrip,
         "cdc_partial_update_merge": q_cdc_partial_update_merge,
+        "cdc_op_stats_streaming": q_cdc_op_stats_streaming,
         "dedup_exact_documents": q_dedup_exact_documents,
         "text_token_count": q_text_token_count,
         "text_quality": q_text_quality,
@@ -1513,6 +1561,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_replay_roundtrip": SQL_cdc_replay_roundtrip,
         "schema_evolution_roundtrip": SQL_schema_evolution_roundtrip,
         "cdc_partial_update_merge": SQL_cdc_partial_update_merge,
+        "cdc_op_stats_streaming": SQL_cdc_op_stats_streaming,
         "dedup_exact_documents": SQL_dedup_exact_documents,
         "text_token_count": SQL_text_token_count,
         "text_quality": SQL_text_quality,

@@ -114,3 +114,74 @@ def test_schema_evolution_mid_stream(spark, tmp_path):
     for k, v in oracle.items():
         assert got[k][0] == v.get("content")
         assert got[k][1] == v.get("branch")
+
+
+def test_windowed_stats_stream_with_watermark(spark, tmp_path):
+    """Streaming EventStatistics (O4): tumbling event-time windows with
+    a watermark — a window finalizes once the watermark passes its end,
+    and an event arriving later than the watermark is dropped (bounded
+    state, the documented completeness trade)."""
+    import time
+    from datetime import datetime
+
+    from replicator_spark.streaming import feed_stream_schema, run_stats_stream
+
+    feed = str(tmp_path / "feed")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def _rows(specs):
+        # specs: list of (seq, op, ts_str)
+        return [
+            (
+                f"e{seq}", seq, op, datetime.fromisoformat(ts),
+                None, None, ("r", f"p{seq}", "c"), "{}", None, None, 0,
+            )
+            for seq, op, ts in specs
+        ]
+
+    schema = feed_stream_schema()
+
+    def _write(specs):
+        spark.createDataFrame(_rows(specs), schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(feed)
+        time.sleep(0.1)  # distinct mod-times → deterministic file order
+
+    # batch 1: fills window 10:00-11:00, then advances event time far
+    # enough that the watermark (max ts - 10 min) passes 11:00
+    _write(
+        [
+            (1, "insert", "2024-01-01 10:05:00"),
+            (2, "insert", "2024-01-01 10:20:00"),
+            (3, "update", "2024-01-01 10:40:00"),
+            (4, "update", "2024-01-01 12:30:00"),
+        ]
+    )
+    # batch 2: flush batch — at its end the 10:00 window (end < the
+    # now-advanced watermark) is emitted and its state evicted
+    _write([(8, "update", "2024-01-01 12:40:00")])
+    # batch 3: a LATE event for the already-evicted 10:00 window → dropped
+    # (a late row landing in the SAME batch that finalizes its window
+    # still counts — eviction is the drop boundary)
+    _write([(5, "insert", "2024-01-01 10:15:00")])
+    # batch 4: keeps the stream moving so later windows flush
+    _write([(6, "delete", "2024-01-01 13:10:00"), (7, "insert", "2024-01-01 14:50:00")])
+
+    q = run_stats_stream(
+        spark, feed, out, ckpt,
+        window="1 hour", watermark="10 minutes", max_files_per_trigger=1,
+    )
+    q.awaitTermination()
+
+    got = {
+        (r["window_start"].isoformat(), r["op"]): r["n_events"]
+        for r in spark.read.parquet(out).collect()
+    }
+    # the 10:00 window finalized with 2 inserts + 1 update; the late
+    # seq=5 insert (arriving after the watermark passed 11:00) is NOT
+    # counted
+    assert got[("2024-01-01T10:00:00", "insert")] == 2
+    assert got[("2024-01-01T10:00:00", "update")] == 1
+    # 12:00 window finalized once event time passed 13:10
+    assert got[("2024-01-01T12:00:00", "update")] == 2
