@@ -1294,6 +1294,53 @@ def q_ann_ivf(spark, sf_dir):
     )
 
 
+def q_repo_activity_stateful(spark, sf_dir):
+    """Custom stateful streaming operator (applyInPandasWithState): a
+    per-repo cumulative activity profile carried in Spark-managed state
+    across micro-batches — the reference's EventStatistics accumulator
+    as a state-store-backed Arrow operator. The final profile (max over
+    the append-only audit trail) must equal the plain batch aggregate —
+    hash-verified against that SQL."""
+    from replicator_spark.streaming import run_repo_activity_stream
+
+    tmp = _scratch("repo_activity")
+    feed_dir, out_dir, ckpt = f"{tmp}/feed", f"{tmp}/out", f"{tmp}/ckpt"
+    ev = _events_change_feed(spark, sf_dir)
+    ev = ev.withColumn("ts", F.lit(None).cast("timestamp")).withColumn(
+        "db", F.lit(None).cast("string")
+    ).withColumn("tbl", F.lit(None).cast("string")).withColumn(
+        "old", F.lit(None).cast("string")
+    ).withColumn("meta", F.lit(None).cast("map<string,string>")).withColumn(
+        "batch_id", F.pmod(F.col("seq"), F.lit(4)).cast("int")
+    )
+    ev.select(
+        "event_id", "seq", "op", "ts", "db", "tbl", "key", "doc", "old", "meta", "batch_id"
+    ).write.parquet(feed_dir)
+    q = run_repo_activity_stream(spark, feed_dir, out_dir, ckpt, max_files_per_trigger=8)
+    q.awaitTermination()
+    out = spark.read.parquet(out_dir)
+    return (
+        out.groupBy("repo")
+        .agg(
+            F.max("n_inserts").alias("n_inserts"),
+            F.max("n_updates").alias("n_updates"),
+            F.max("n_deletes").alias("n_deletes"),
+            F.max("seq_hi").alias("seq_hi"),
+        )
+    )
+
+
+SQL_repo_activity_stateful = f"""
+WITH {_FEED_CTE}
+SELECT repo,
+       CAST(SUM(CASE WHEN op = 'insert' THEN 1 ELSE 0 END) AS BIGINT) AS n_inserts,
+       CAST(SUM(CASE WHEN op = 'update' THEN 1 ELSE 0 END) AS BIGINT) AS n_updates,
+       CAST(SUM(CASE WHEN op = 'delete' THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes,
+       MAX(seq) AS seq_hi
+FROM feed GROUP BY repo
+"""
+
+
 def q_media_features(spark, sf_dir):
     """Multimodal plumbing: synthetic media table → mapInPandas feature
     extraction (stub codec, real Arrow batch path)."""
@@ -1531,6 +1578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "media_features": q_media_features,
         "frame_sample": q_frame_sample,
+        "repo_activity_stateful": q_repo_activity_stateful,
     }
 
 
@@ -1562,6 +1610,7 @@ def oracle_sql() -> dict[str, str]:
         "schema_evolution_roundtrip": SQL_schema_evolution_roundtrip,
         "cdc_partial_update_merge": SQL_cdc_partial_update_merge,
         "cdc_op_stats_streaming": SQL_cdc_op_stats_streaming,
+        "repo_activity_stateful": SQL_repo_activity_stateful,
         "dedup_exact_documents": SQL_dedup_exact_documents,
         "text_token_count": SQL_text_token_count,
         "text_quality": SQL_text_quality,

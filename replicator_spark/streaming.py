@@ -175,6 +175,97 @@ def run_stats_stream(
     return writer.start()
 
 
+def run_repo_activity_stream(
+    spark: SparkSession,
+    feed_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    *,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    a per-repo running activity profile (cumulative events per op, seq
+    high-water mark) carried in managed state across micro-batches —
+    the arbitrary-state form the built-in window aggregation can't
+    express (monotone cumulative output per key per batch).
+
+    This is the reference's per-stream ``EventStatistics`` accumulator
+    (held in a Go struct behind a mutex) as Spark-managed state: state
+    lives in the state store keyed by repo, survives restarts via the
+    checkpoint, and each micro-batch emits one updated row per touched
+    repo (an append-only audit trail of the profile's evolution).
+
+    State size is O(live repos); Arrow batches in, Arrow batches out —
+    no row-at-a-time Python.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("repo", T.StringType()),
+            T.StructField("n_inserts", T.LongType()),
+            T.StructField("n_updates", T.LongType()),
+            T.StructField("n_deletes", T.LongType()),
+            T.StructField("seq_hi", T.LongType()),
+        ]
+    )
+    state_schema = "n_inserts long, n_updates long, n_deletes long, seq_hi long"
+
+    def _update(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        if state.exists:
+            ni, nu, nd, hi = state.get
+        else:
+            ni, nu, nd, hi = 0, 0, 0, -1
+        for pdf in pdf_iter:
+            ops = pdf["op"].value_counts()
+            ni += int(ops.get("insert", 0))
+            nu += int(ops.get("update", 0))
+            nd += int(ops.get("delete", 0))
+            hi = max(hi, int(pdf["seq"].max()))
+        state.update((ni, nu, nd, hi))
+        yield pd.DataFrame(
+            {
+                "repo": [key[0]],
+                "n_inserts": [ni],
+                "n_updates": [nu],
+                "n_deletes": [nd],
+                "seq_hi": [hi],
+            }
+        )
+
+    reader = (
+        spark.readStream.schema(feed_stream_schema())
+        .option("maxFilesPerTrigger", max_files_per_trigger or 64)
+        .parquet(feed_dir)
+    )
+    profiled = (
+        reader.select(F.col("key.repo").alias("repo"), "op", "seq")
+        .groupBy("repo")
+        .applyInPandasWithState(
+            _update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            # append: each batch's emitted profile rows are final (the
+            # audit trail is append-only) — required by the file sink
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    writer = (
+        profiled.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName("repo-activity")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def attach_progress_listener(spark: SparkSession, out_path: str):
     """Persist StreamingQueryProgress as JSON lines — the observable
     replacement for the reference's management/metrics HTTP API

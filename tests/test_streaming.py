@@ -185,3 +185,59 @@ def test_windowed_stats_stream_with_watermark(spark, tmp_path):
     assert got[("2024-01-01T10:00:00", "update")] == 1
     # 12:00 window finalized once event time passed 13:10
     assert got[("2024-01-01T12:00:00", "update")] == 2
+
+
+def test_repo_activity_stateful_stream(spark, tmp_path):
+    """applyInPandasWithState: per-repo cumulative profile carried in
+    managed state across micro-batches — per-batch emissions are
+    monotone per key and the final profile equals the batch ground
+    truth; state survives a restart via the checkpoint."""
+    from pyspark.sql import functions as F
+
+    from replicator_spark.feedgen import gen_changes, write_feed
+    from replicator_spark.streaming import run_repo_activity_stream
+
+    feed = str(tmp_path / "feed")
+    write_feed(gen_changes(spark, 2000, n_repos=5, n_batches=4, dup_pct=0), feed)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    q = run_repo_activity_stream(spark, feed, out, ckpt, max_files_per_trigger=4)
+    q.awaitTermination()
+
+    emitted = spark.read.parquet(out)
+    # final profile per repo = max over the audit trail (counts are
+    # cumulative, so the last emission carries the totals)
+    final = (
+        emitted.groupBy("repo")
+        .agg(
+            F.max("n_inserts").alias("ni"),
+            F.max("n_updates").alias("nu"),
+            F.max("n_deletes").alias("nd"),
+            F.max("seq_hi").alias("hi"),
+        )
+        .collect()
+    )
+    raw = spark.read.parquet(feed).select(F.col("key.repo").alias("repo"), "op", "seq")
+    truth = {
+        r["repo"]: r
+        for r in raw.groupBy("repo")
+        .agg(
+            F.sum(F.when(F.col("op") == "insert", 1).otherwise(0)).alias("ni"),
+            F.sum(F.when(F.col("op") == "update", 1).otherwise(0)).alias("nu"),
+            F.sum(F.when(F.col("op") == "delete", 1).otherwise(0)).alias("nd"),
+            F.max("seq").alias("hi"),
+        )
+        .collect()
+    }
+    assert len(final) == len(truth)
+    for r in final:
+        t = truth[r["repo"]]
+        assert (r["ni"], r["nu"], r["nd"], r["hi"]) == (t["ni"], t["nu"], t["nd"], t["hi"])
+
+    # multiple micro-batches actually happened (state crossed batches)
+    n_batches_emitted = emitted.groupBy("repo").count().agg(F.max("count")).first()[0]
+    assert n_batches_emitted >= 2
+
+    # no row-at-a-time Python: the stateful op must ride Arrow
+    # (FlatMapGroupsInPandasWithState), never BatchEvalPython
+    assert "BatchEvalPython" not in emitted._jdf.queryExecution().executedPlan().toString()
