@@ -596,6 +596,72 @@ FROM latest WHERE rn = 1 AND op <> 'delete'
 """
 
 
+def q_cdc_incremental_read(spark, sf_dir):
+    """The lake table as a CDC *source* (LakeTable.read_changes): after
+    replaying the first half of the feed, capture that version; after
+    the rest, read the changes since it — upserts + tombstones whose
+    ``_last_seq`` exceeds the base version's max applied seq. Oracle:
+    LWW winners of the full feed restricted to seq above the first
+    half's max."""
+    from pyspark.sql import types as T
+
+    from replicator_spark.laketable import LakeTable
+    from replicator_spark.pipeline import replay_feed
+
+    tmp = _scratch("incr_read")
+    feed_dir, root = f"{tmp}/feed", f"{tmp}/table"
+    ev = _events_change_feed(spark, sf_dir)
+    max_seq = ev.agg(F.max("seq")).first()[0]
+    width = max_seq // 4 + 1
+    ev.withColumn("batch_id", (F.col("seq") / width).cast("int")).write.partitionBy(
+        "batch_id"
+    ).parquet(feed_dir)
+    table = LakeTable(spark, root)
+    table.create(
+        T.StructType(
+            [
+                T.StructField("repo", T.StringType()),
+                T.StructField("path", T.StringType()),
+                T.StructField("commit", T.StringType()),
+                T.StructField("lang", T.StringType()),
+                T.StructField("content", T.StringType()),
+            ]
+        ),
+        num_buckets=8,
+    )
+    schema = T.StructType(
+        [T.StructField("lang", T.StringType()), T.StructField("content", T.StringType())]
+    )
+    replay_feed(spark, feed_dir, table, payload_schema=schema, mode="mor",
+                batches=[0, 1], write_metrics=False)
+    v_mid = table._snap().version
+    replay_feed(spark, feed_dir, table, payload_schema=schema, mode="mor",
+                batches=[2, 3], write_metrics=False)
+    ch = table.read_changes(v_mid)
+    return ch.select(
+        "repo", "path", "commit", "lang",
+        F.sha2("content", 256).alias("content_sha"),
+        F.col("_last_seq").alias("last_seq"),
+        F.col("_deleted").alias("deleted"),
+    )
+
+
+SQL_cdc_incremental_read = f"""
+WITH {_FEED_CTE}, {_LWW_CTE},
+cut AS (
+  SELECT MAX(seq) AS floor_seq FROM feed
+  WHERE seq < 2 * ((SELECT MAX(event_id) FROM events) // 4 + 1)
+)
+SELECT repo, path, "commit",
+       CASE WHEN op <> 'delete' THEN substr("commit", 1, 2) END AS lang,
+       CASE WHEN op <> 'delete' THEN sha256(props) END AS content_sha,
+       seq AS last_seq,
+       (op = 'delete') AS deleted
+FROM latest, cut
+WHERE rn = 1 AND seq > cut.floor_seq
+"""
+
+
 def q_cdc_op_stats_streaming(spark, sf_dir):
     """O4's Structured Streaming form: tumbling 1-hour event-time
     windows × op with a 10-minute watermark, run as a real streaming
@@ -1557,6 +1623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_evolution_roundtrip": q_schema_evolution_roundtrip,
         "cdc_partial_update_merge": q_cdc_partial_update_merge,
         "cdc_op_stats_streaming": q_cdc_op_stats_streaming,
+        "cdc_incremental_read": q_cdc_incremental_read,
         "dedup_exact_documents": q_dedup_exact_documents,
         "text_token_count": q_text_token_count,
         "text_quality": q_text_quality,
@@ -1611,6 +1678,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_partial_update_merge": SQL_cdc_partial_update_merge,
         "cdc_op_stats_streaming": SQL_cdc_op_stats_streaming,
         "repo_activity_stateful": SQL_repo_activity_stateful,
+        "cdc_incremental_read": SQL_cdc_incremental_read,
         "dedup_exact_documents": SQL_dedup_exact_documents,
         "text_token_count": SQL_text_token_count,
         "text_quality": SQL_text_quality,

@@ -243,6 +243,33 @@ class LakeTable:
             df = df.drop(*ENGINE_COLS)
         return df
 
+    def read_changes(
+        self, since_version: int, version: int | None = None
+    ) -> DataFrame:
+        """Incremental change feed OUT of the table: every row whose
+        image changed after ``since_version`` — upserts plus tombstones,
+        each carrying ``_last_seq`` (the change's order) and
+        ``_deleted``. This turns the lake table itself into a CDC
+        source, the chaining surface for multi-hop replication (the
+        reference replicates A→B→C by re-tailing each hop; here hop N+1
+        just reads hop N's changes since its last consumed version).
+
+        Exactness: a row is a change iff its ``_last_seq`` exceeds the
+        base snapshot's tracked max applied seq — a pure filter the
+        parquet scan can push down, O(scanned files), no snapshot
+        diffing. Two documented caveats: (1) an out-of-order straggler
+        applied after ``since_version`` with a seq below that watermark
+        is invisible (same in-order window assumption as the ledger
+        floor); (2) tombstone retention must cover the consumer's lag,
+        or expired tombstones drop delete events.
+        """
+        base = self._snap(since_version)
+        floor = (base.props or {}).get("max_seq")
+        df = self.read(version, include_deleted=True, include_engine_cols=True)
+        if floor is not None:
+            df = df.where(F.col(LAST_SEQ_COL) > F.lit(floor))
+        return df
+
     # -- MERGE ---------------------------------------------------------
     def merge(
         self,

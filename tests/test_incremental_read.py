@@ -1,0 +1,80 @@
+"""Incremental change-feed reads OUT of the lake table
+(LakeTable.read_changes) and multi-hop chaining: hop N+1 consumes hop
+N's changes-since-version — the reference's A→B→C replication topology
+without re-tailing the original source."""
+
+from pyspark.sql import functions as F
+
+from replicator_spark.feedgen import gen_changes, write_feed
+from replicator_spark.laketable import LakeTable
+from replicator_spark.model import KEY_COLS, REPOS_SCHEMA
+from replicator_spark.pipeline import replay_feed
+
+
+def _ordered_feed(spark, tmp_path, n=3000):
+    """Seq-ranged batches (in-order delivery — read_changes' documented
+    assumption)."""
+    feed = str(tmp_path / "feed")
+    df = gen_changes(spark, n, n_repos=6, n_batches=1, dup_pct=0).drop("batch_id")
+    mx = df.agg(F.max("seq")).first()[0]
+    width = mx // 4 + 1
+    df.withColumn("batch_id", (F.col("seq") / width).cast("int")).write.partitionBy(
+        "batch_id"
+    ).parquet(feed)
+    return feed
+
+
+def test_read_changes_since_version(spark, tmp_path):
+    feed = _ordered_feed(spark, tmp_path)
+    t = LakeTable(spark, str(tmp_path / "t"))
+    t.create(REPOS_SCHEMA, num_buckets=4)
+    replay_feed(spark, feed, t, batches=[0, 1], mode="mor", write_metrics=False)
+    v_mid = t._snap().version
+    floor = t._snap().props["max_seq"]
+    replay_feed(spark, feed, t, batches=[2, 3], mode="mor", write_metrics=False)
+
+    changes = t.read_changes(v_mid)
+    rows = changes.collect()
+    assert rows, "second half must have produced changes"
+    # every change is newer than the base watermark
+    assert all(r["_last_seq"] > floor for r in rows)
+    # exactly the keys whose CURRENT image is newer than the watermark
+    full = t.read(include_deleted=True, include_engine_cols=True)
+    want = full.where(F.col("_last_seq") > floor).count()
+    assert len(rows) == want
+    # tombstones ride the change feed
+    assert any(r["_deleted"] for r in rows)
+
+
+def test_chained_replication_converges(spark, tmp_path):
+    """A→B chaining: B consumes A's change feed in two increments and
+    ends bit-identical to A (same live keys and images)."""
+    feed = _ordered_feed(spark, tmp_path)
+    a = LakeTable(spark, str(tmp_path / "a"))
+    a.create(REPOS_SCHEMA, num_buckets=4)
+    b = LakeTable(spark, str(tmp_path / "b"))
+    b.create(REPOS_SCHEMA, num_buckets=4)
+
+    def sync(since_version, batch_key):
+        ch = a.read_changes(since_version)
+        batch = ch.select(
+            *KEY_COLS,
+            "lang",
+            "content",
+            F.col("_last_seq").alias("seq"),
+            F.when(F.col("_deleted"), F.lit("delete")).otherwise(F.lit("update")).alias("op"),
+            F.concat(F.lit("sync"), F.col("_last_seq").cast("string")).alias("event_id"),
+        )
+        b.merge(batch, batch_key, mode="mor")
+
+    replay_feed(spark, feed, a, batches=[0, 1], mode="mor", write_metrics=False)
+    v1 = a._snap().version
+    sync(0, "sync-0")  # initial hydration: full image
+    replay_feed(spark, feed, a, batches=[2, 3], mode="mor", write_metrics=False)
+    sync(v1, "sync-1")  # incremental
+
+    a_live = a.read().select(*KEY_COLS, "lang", "content")
+    b_live = b.read().select(*KEY_COLS, "lang", "content")
+    assert a_live.count() == b_live.count()
+    assert a_live.exceptAll(b_live).count() == 0
+    assert b_live.exceptAll(a_live).count() == 0
