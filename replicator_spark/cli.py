@@ -244,6 +244,16 @@ def cmd_compact(table_root: str, expire_below: int | None, retention: int | None
     return 0
 
 
+def cmd_expire(table_root: str, keep_last: int) -> int:
+    """Expire old snapshots + GC unreferenced data files/manifests."""
+    from .laketable import LakeTable
+    from .session import get_spark
+
+    table = LakeTable(get_spark("expire"), table_root)
+    print(json.dumps(table.expire_snapshots(keep_last=keep_last)))
+    return 0
+
+
 def cmd_history(table_root: str) -> int:
     """Snapshot history (time-travel index) as JSON lines."""
     from .laketable import LakeTable
@@ -282,6 +292,9 @@ def main(argv: list[str] | None = None) -> int:
     cp.add_argument("--tombstone-retention", type=int, default=None)
     hp = sub.add_parser("history")
     hp.add_argument("--table-root", required=True)
+    ep = sub.add_parser("expire")
+    ep.add_argument("--table-root", required=True)
+    ep.add_argument("--keep-last", type=int, default=10)
     args = p.parse_args(argv)
 
     if args.cmd == "metrics":
@@ -292,6 +305,8 @@ def main(argv: list[str] | None = None) -> int:
         return cmd_compact(args.table_root, args.expire_below, args.tombstone_retention)
     if args.cmd == "history":
         return cmd_history(args.table_root)
+    if args.cmd == "expire":
+        return cmd_expire(args.table_root, args.keep_last)
 
     cfg = load_config(args.config)
     errs = cfg.validate()

@@ -187,6 +187,19 @@ def _resolve(root: str, refs: dict) -> dict[str, list[str]]:
     return out
 
 
+def manifest_refs(root: str, version: int) -> set[str]:
+    """The raw manifest refs a snapshot JSON carries (for GC)."""
+    with open(_snap_path(root, version)) as f:
+        d = json.load(f)
+    refs = {v for v in d.get("files", {}).values() if isinstance(v, str)}
+    refs |= {
+        v
+        for v in (d.get("props") or {}).get("deltas", {}).values()
+        if isinstance(v, str)
+    }
+    return refs
+
+
 def load_snapshot(root: str, version: int | None = None) -> Snapshot | None:
     """Load a snapshot; ``version`` enables time travel. Manifest refs
     are resolved back to inline file lists — callers see plain dicts."""

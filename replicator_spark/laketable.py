@@ -677,6 +677,69 @@ class LakeTable:
         cl.commit_snapshot(self.root, nsnap)
         return new_version
 
+    # -- maintenance: snapshot expiry / GC ------------------------------
+    def expire_snapshots(self, keep_last: int = 10) -> dict:
+        """Expire old snapshots and garbage-collect every data file and
+        manifest no retained snapshot references — without this, disk
+        grows O(history): cow rewrites and compactions strand their
+        superseded bucket files forever, and aborted commits leave
+        orphan version dirs. Time travel remains available for the
+        ``keep_last`` newest versions only.
+
+        Deletion is reference-based, not version-dir-based: a mor delta
+        file written at v5 stays live while any retained snapshot still
+        lists it. The committed-batch ledger is carried inside every
+        snapshot, so expiry never weakens exactly-once. Single-writer
+        assumption as everywhere else (no reader pins a dropped
+        version mid-scan in the driver-owned deployment; an object-store
+        deployment would add a grace period before physical deletes).
+        """
+        versions = cl.list_versions(self.root)
+        current = cl.current_version(self.root)
+        keep = set(versions[-keep_last:]) | {current}
+        expired = [v for v in versions if v not in keep]
+
+        referenced: set[str] = set()
+        manifests: set[str] = set()
+        for v in keep:
+            snap = cl.load_snapshot(self.root, v)
+            for fs in snap.files.values():
+                referenced.update(fs)
+            for fs in self._deltas(snap).values():
+                referenced.update(fs)
+            manifests.update(cl.manifest_refs(self.root, v))
+
+        removed_files = 0
+        data_dir = os.path.join(self.root, "data")
+        for dirpath, _dirs, files in os.walk(data_dir, topdown=False):
+            for f in files:
+                p = os.path.join(dirpath, f)
+                if f.endswith(".parquet") and p not in referenced:
+                    os.remove(p)
+                    removed_files += 1
+            if not os.listdir(dirpath):
+                os.rmdir(dirpath)
+
+        mdir = cl.meta_dir(self.root)
+        for v in expired:
+            try:
+                os.remove(os.path.join(mdir, f"v{v}.json"))
+            except FileNotFoundError:
+                pass
+        removed_manifests = 0
+        man_dir = os.path.join(mdir, "manifests")
+        if os.path.isdir(man_dir):
+            for m in os.listdir(man_dir):
+                if f"manifests/{m}" not in manifests:
+                    os.remove(os.path.join(man_dir, m))
+                    removed_manifests += 1
+        return {
+            "expired_versions": expired,
+            "removed_files": removed_files,
+            "removed_manifests": removed_manifests,
+            "retained": sorted(keep),
+        }
+
     # -- physical write ------------------------------------------------
     def _write_buckets(
         self, df: DataFrame, out_dir: str, touched, key_cols, files_per_bucket

@@ -96,3 +96,52 @@ def test_metadata_bounded_over_many_commits(spark, tmp_path):
         for f in fs:
             assert os.path.exists(f)
     assert json.loads(open(os.path.join(meta, f"v{snap.version}.json")).read())
+
+
+def _disk_files(root):
+    out = set()
+    for dirpath, _d, files in os.walk(os.path.join(root, "data")):
+        for f in files:
+            if f.endswith(".parquet"):
+                out.add(os.path.join(dirpath, f))
+    return out
+
+
+def test_expire_snapshots_gc_bounds_disk(spark, tmp_path):
+    """Without expiry, cow rewrites/compactions strand superseded files
+    forever. expire_snapshots deletes everything no retained snapshot
+    references (incl. aborted-commit orphans), keeps time travel for the
+    retained window, and leaves reads + exactly-once intact."""
+    t = LakeTable(spark, str(tmp_path / "t"))
+    t.create(REPOS_SCHEMA, num_buckets=2)
+    n = 14
+    for i in range(n):
+        # compaction every 4 deltas → plenty of superseded files
+        t.merge(_tiny_batch(spark, i), f"s-{i}", mode="mor", compact_after_deltas=4)
+    # plant an aborted-commit orphan dir
+    orphan_dir = os.path.join(t.root, "data", "v9999", "repo_bucket=0")
+    os.makedirs(orphan_dir)
+    orphan = os.path.join(orphan_dir, "part-junk.parquet")
+    open(orphan, "w").write("junk")
+
+    before = _disk_files(t.root)
+    live_before = {r["path"]: r["content"] for r in t.read().collect()}
+    res = t.expire_snapshots(keep_last=3)
+    after = _disk_files(t.root)
+
+    assert res["removed_files"] > 0
+    assert orphan not in after  # orphans collected
+    assert after < before
+    # every retained snapshot's files survived; reads identical
+    assert {r["path"]: r["content"] for r in t.read().collect()} == live_before
+    current = t._snap().version
+    assert t.read(version=current - 1).count() >= 0  # retained time travel
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        t.read(version=1)  # expired version is gone
+    # exactly-once unaffected (ledger rides every snapshot)
+    assert t.merge(_tiny_batch(spark, 0), "s-0", mode="mor").replayed
+    # and the table still accepts new merges after GC
+    t.merge(_tiny_batch(spark, n), f"s-{n}", mode="mor")
+    assert t.read().count() == n + 1
