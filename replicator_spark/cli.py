@@ -244,13 +244,13 @@ def cmd_compact(table_root: str, expire_below: int | None, retention: int | None
     return 0
 
 
-def cmd_expire(table_root: str, keep_last: int) -> int:
-    """Expire old snapshots + GC unreferenced data files/manifests."""
+def cmd_expire(table_root: str, keep_last: int, min_age_s: float) -> int:
+    """Expire old snapshots + GC unreferenced data files/manifests.
+    Pure driver-side filesystem work — no SparkSession is booted."""
     from .laketable import LakeTable
-    from .session import get_spark
 
-    table = LakeTable(get_spark("expire"), table_root)
-    print(json.dumps(table.expire_snapshots(keep_last=keep_last)))
+    table = LakeTable(None, table_root)  # metadata-only: spark unused
+    print(json.dumps(table.expire_snapshots(keep_last=keep_last, min_age_s=min_age_s)))
     return 0
 
 
@@ -295,6 +295,9 @@ def main(argv: list[str] | None = None) -> int:
     ep = sub.add_parser("expire")
     ep.add_argument("--table-root", required=True)
     ep.add_argument("--keep-last", type=int, default=10)
+    # concurrent-writer guard: unreferenced files younger than this are
+    # spared (an in-flight merge's files look like orphans until commit)
+    ep.add_argument("--min-age-s", type=float, default=600.0)
     args = p.parse_args(argv)
 
     if args.cmd == "metrics":
@@ -306,7 +309,7 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "history":
         return cmd_history(args.table_root)
     if args.cmd == "expire":
-        return cmd_expire(args.table_root, args.keep_last)
+        return cmd_expire(args.table_root, args.keep_last, args.min_age_s)
 
     cfg = load_config(args.config)
     errs = cfg.validate()

@@ -92,7 +92,11 @@ class LakeTable:
 
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
-        self.root = root
+        # normalize: snapshot metadata records absolute file paths built
+        # from this root, and maintenance (GC) compares paths — a
+        # trailing slash or '..' here must not make the same file spell
+        # two ways
+        self.root = os.path.normpath(os.path.abspath(root))
 
     # -- DDL -----------------------------------------------------------
     def create(
@@ -244,7 +248,11 @@ class LakeTable:
         return df
 
     def read_changes(
-        self, since_version: int, version: int | None = None
+        self,
+        since_version: int | None = None,
+        version: int | None = None,
+        *,
+        since_seq: int | None = None,
     ) -> DataFrame:
         """Incremental change feed OUT of the table: every row whose
         image changed after ``since_version`` — upserts plus tombstones,
@@ -262,9 +270,26 @@ class LakeTable:
         is invisible (same in-order window assumption as the ledger
         floor); (2) tombstone retention must cover the consumer's lag,
         or expired tombstones drop delete events.
+
+        Consumers should persist the watermark they consumed up to and
+        pass it as ``since_seq`` — that form needs no old snapshot, so
+        it survives expire_snapshots; ``since_version`` requires the
+        base snapshot to still be retained (clear error otherwise).
         """
-        base = self._snap(since_version)
-        floor = (base.props or {}).get("max_seq")
+        if since_seq is not None:
+            floor = since_seq
+        else:
+            if since_version is None:
+                raise ValueError("pass since_version or since_seq")
+            try:
+                base = self._snap(since_version)
+            except FileNotFoundError:
+                raise ValueError(
+                    f"base snapshot v{since_version} was expired — consumers "
+                    "must track max_seq and use since_seq, or keep_last must "
+                    "cover the slowest consumer's lag"
+                ) from None
+            floor = (base.props or {}).get("max_seq")
         df = self.read(version, include_deleted=True, include_engine_cols=True)
         if floor is not None:
             df = df.where(F.col(LAST_SEQ_COL) > F.lit(floor))
@@ -678,24 +703,44 @@ class LakeTable:
         return new_version
 
     # -- maintenance: snapshot expiry / GC ------------------------------
-    def expire_snapshots(self, keep_last: int = 10) -> dict:
+    def expire_snapshots(
+        self, keep_last: int = 10, *, min_age_s: float = 600.0
+    ) -> dict:
         """Expire old snapshots and garbage-collect every data file and
         manifest no retained snapshot references — without this, disk
         grows O(history): cow rewrites and compactions strand their
         superseded bucket files forever, and aborted commits leave
         orphan version dirs. Time travel remains available for the
-        ``keep_last`` newest versions only.
+        ``keep_last`` newest versions only (minimum 1 — the current
+        snapshot is never expired).
 
         Deletion is reference-based, not version-dir-based: a mor delta
         file written at v5 stays live while any retained snapshot still
-        lists it. The committed-batch ledger is carried inside every
-        snapshot, so expiry never weakens exactly-once. Single-writer
-        assumption as everywhere else (no reader pins a dropped
-        version mid-scan in the driver-owned deployment; an object-store
-        deployment would add a grace period before physical deletes).
+        lists it. Paths are realpath-normalized on both sides of the
+        comparison, so how the root was spelled at write vs GC time
+        cannot misclassify live files. The committed-batch ledger is
+        carried inside every snapshot, so expiry never weakens
+        exactly-once.
+
+        ``min_age_s`` is the concurrent-writer guard: an in-flight
+        merge's data files exist BEFORE their snapshot commits and look
+        exactly like aborted-commit orphans, so unreferenced files
+        younger than this are spared (default 10 min ≫ any batch wall).
+        Set 0 only when no writer can be active.
+
+        Interaction with read_changes: a consumer whose base version is
+        expired can no longer call ``read_changes(version)`` — keep
+        ``keep_last`` above the slowest consumer's lag, or have
+        consumers persist the base snapshot's ``max_seq`` and use
+        ``read_changes(since_seq=...)``, which needs no old snapshot.
         """
+        import time as _time
+
+        if cl.current_version(self.root) is None:
+            raise ValueError(f"no table at {self.root}")
         versions = cl.list_versions(self.root)
         current = cl.current_version(self.root)
+        keep_last = max(1, keep_last)
         keep = set(versions[-keep_last:]) | {current}
         expired = [v for v in versions if v not in keep]
 
@@ -704,17 +749,29 @@ class LakeTable:
         for v in keep:
             snap = cl.load_snapshot(self.root, v)
             for fs in snap.files.values():
-                referenced.update(fs)
+                referenced.update(os.path.realpath(p) for p in fs)
             for fs in self._deltas(snap).values():
-                referenced.update(fs)
+                referenced.update(os.path.realpath(p) for p in fs)
             manifests.update(cl.manifest_refs(self.root, v))
+
+        now = _time.time()
+
+        def _old_enough(p: str) -> bool:
+            try:
+                return now - os.path.getmtime(p) >= min_age_s
+            except OSError:
+                return False
 
         removed_files = 0
         data_dir = os.path.join(self.root, "data")
         for dirpath, _dirs, files in os.walk(data_dir, topdown=False):
             for f in files:
                 p = os.path.join(dirpath, f)
-                if f.endswith(".parquet") and p not in referenced:
+                if (
+                    f.endswith(".parquet")
+                    and os.path.realpath(p) not in referenced
+                    and _old_enough(p)
+                ):
                     os.remove(p)
                     removed_files += 1
             if not os.listdir(dirpath):
@@ -730,8 +787,9 @@ class LakeTable:
         man_dir = os.path.join(mdir, "manifests")
         if os.path.isdir(man_dir):
             for m in os.listdir(man_dir):
-                if f"manifests/{m}" not in manifests:
-                    os.remove(os.path.join(man_dir, m))
+                p = os.path.join(man_dir, m)
+                if f"manifests/{m}" not in manifests and _old_enough(p):
+                    os.remove(p)
                     removed_manifests += 1
         return {
             "expired_versions": expired,

@@ -126,7 +126,20 @@ def test_expire_snapshots_gc_bounds_disk(spark, tmp_path):
 
     before = _disk_files(t.root)
     live_before = {r["path"]: r["content"] for r in t.read().collect()}
-    res = t.expire_snapshots(keep_last=3)
+    current = t._snap().version
+    prev_count = t.read(version=current - 1).count()
+
+    # concurrent-writer guard: with the default min-age, fresh
+    # unreferenced files (like an in-flight merge's) are SPARED
+    res_guarded = t.expire_snapshots(keep_last=3)
+    assert res_guarded["removed_files"] == 0
+    assert orphan in _disk_files(t.root)
+
+    # GC through a sloppily-spelled root (trailing slash) must still
+    # match live files — path comparison is realpath-normalized
+    from replicator_spark.laketable import LakeTable as LT
+
+    res = LT(None, t.root + "/").expire_snapshots(keep_last=3, min_age_s=0)
     after = _disk_files(t.root)
 
     assert res["removed_files"] > 0
@@ -134,14 +147,22 @@ def test_expire_snapshots_gc_bounds_disk(spark, tmp_path):
     assert after < before
     # every retained snapshot's files survived; reads identical
     assert {r["path"]: r["content"] for r in t.read().collect()} == live_before
-    current = t._snap().version
-    assert t.read(version=current - 1).count() >= 0  # retained time travel
+    # retained time travel still returns the exact pre-expiry row count
+    assert t.read(version=current - 1).count() == prev_count
     import pytest
 
     with pytest.raises(FileNotFoundError):
         t.read(version=1)  # expired version is gone
+    # a consumer pinned to an expired base gets a CLEAR error, and the
+    # seq-watermark form still works without any old snapshot
+    with pytest.raises(ValueError, match="expired"):
+        t.read_changes(1)
+    assert t.read_changes(since_seq=n - 3).count() == 2
     # exactly-once unaffected (ledger rides every snapshot)
     assert t.merge(_tiny_batch(spark, 0), "s-0", mode="mor").replayed
     # and the table still accepts new merges after GC
     t.merge(_tiny_batch(spark, n), f"s-{n}", mode="mor")
+    assert t.read().count() == n + 1
+    # keep_last=0 never expires the current snapshot
+    t.expire_snapshots(keep_last=0, min_age_s=0)
     assert t.read().count() == n + 1

@@ -203,6 +203,12 @@ def test_repo_activity_stateful_stream(spark, tmp_path):
 
     q = run_repo_activity_stream(spark, feed, out, ckpt, max_files_per_trigger=4)
     q.awaitTermination()
+    # no row-at-a-time Python: the STREAMING query's own executed plan
+    # must show the Arrow stateful operator (asserting on the batch
+    # re-read of the output parquet would be vacuous)
+    qplan = q._jsq.explainInternal(True)
+    assert "FlatMapGroupsInPandasWithState" in qplan
+    assert "BatchEvalPython" not in qplan
 
     emitted = spark.read.parquet(out)
     # final profile per repo = max over the audit trail (counts are
@@ -238,6 +244,4 @@ def test_repo_activity_stateful_stream(spark, tmp_path):
     n_batches_emitted = emitted.groupBy("repo").count().agg(F.max("count")).first()[0]
     assert n_batches_emitted >= 2
 
-    # no row-at-a-time Python: the stateful op must ride Arrow
-    # (FlatMapGroupsInPandasWithState), never BatchEvalPython
-    assert "BatchEvalPython" not in emitted._jdf.queryExecution().executedPlan().toString()
+
