@@ -64,6 +64,19 @@ class Snapshot:
     # per-stream high-water mark of batch ids evicted from
     # committed_batches: n <= ledger_floor[stream] ⇒ committed
     ledger_floor: dict[str, int] = field(default_factory=dict)
+    # per-data-file max ``_last_seq`` (Iceberg-style file-level column
+    # stats, read from parquet footers at commit time). Carried inside
+    # the content-addressed manifests — NOT serialized inline (that
+    # would reintroduce O(total-files) snapshot JSON). Missing/None ⇒
+    # unknown (pre-upgrade manifests) ⇒ readers must not prune the file.
+    file_stats: dict[str, int | None] = field(default_factory=dict)
+    # per-data-file schema id (Iceberg's schema-id-per-data-file):
+    # which entry of props["schema_log"] the file's physical columns
+    # were written under. Carried in the manifests like file_stats.
+    # Missing ⇒ legacy file ⇒ readers use schema id 0 (type changes
+    # were impossible before this feature, so every legacy file's
+    # types are a null-fillable prefix of the seed schema).
+    file_schema_ids: dict[str, int] = field(default_factory=dict)
 
     # NOTE: serialization lives in commit_snapshot/load_snapshot ONLY —
     # the on-disk format externalizes file lists to content-addressed
@@ -156,32 +169,74 @@ def current_version(root: str) -> int | None:
         return None
 
 
-def _manifest_ref(root: str, files: list[str]) -> str:
+def _manifest_ref(
+    root: str,
+    files: list[str],
+    stats: dict[str, int | None] | None = None,
+    schema_ids: dict[str, int] | None = None,
+) -> str:
     """Write-if-absent a content-addressed manifest; return its ref.
     Identical file lists hash to the same ref, so a bucket untouched by
-    a commit re-references its existing manifest for free."""
+    a commit re-references its existing manifest for free. The manifest
+    carries per-file max ``_last_seq`` stats and schema ids alongside
+    the paths (data files are immutable, so a path's metadata never
+    changes — same list ⇒ same content ⇒ same hash, and the dedupe
+    property survives)."""
     import hashlib
 
-    h = hashlib.sha1("\n".join(files).encode()).hexdigest()[:16]
+    stats = stats or {}
+    schema_ids = schema_ids or {}
+    body = {
+        "files": files,
+        "max_last_seq": [stats.get(p) for p in files],
+        "schema_id": [schema_ids.get(p) for p in files],
+    }
+    payload = json.dumps(body, sort_keys=True)
+    h = hashlib.sha1(payload.encode()).hexdigest()[:16]
     rel = f"manifests/m-{h}.json"
     path = os.path.join(meta_dir(root), rel)
     if not os.path.exists(path):
-        _atomic_write(path, json.dumps(files))
+        _atomic_write(path, payload)
     return rel
 
 
-def _externalize(root: str, bucket_files: dict[str, list[str]]) -> dict:
+def _externalize(
+    root: str,
+    bucket_files: dict[str, list[str]],
+    stats: dict[str, int | None] | None = None,
+    schema_ids: dict[str, int] | None = None,
+) -> dict:
     return {
-        b: (_manifest_ref(root, fs) if fs else []) for b, fs in bucket_files.items()
+        b: (_manifest_ref(root, fs, stats, schema_ids) if fs else [])
+        for b, fs in bucket_files.items()
     }
 
 
-def _resolve(root: str, refs: dict) -> dict[str, list[str]]:
+def _resolve(
+    root: str,
+    refs: dict,
+    stats_out: dict[str, int | None],
+    schema_ids_out: dict[str, int],
+) -> dict[str, list[str]]:
+    """Resolve manifest refs to inline file lists, accumulating the
+    per-file stats/schema-ids the manifests carry. Handles all on-disk
+    generations: inline lists, plain-list manifests (pre-stats), and
+    {"files", "max_last_seq"[, "schema_id"]} manifests."""
     out: dict[str, list[str]] = {}
     for b, v in refs.items():
         if isinstance(v, str):  # manifest ref
             with open(os.path.join(meta_dir(root), v)) as f:
-                out[b] = json.load(f)
+                body = json.load(f)
+            if isinstance(body, dict):
+                out[b] = list(body["files"])
+                for p, s in zip(body["files"], body.get("max_last_seq") or []):
+                    if s is not None:
+                        stats_out[p] = s
+                for p, s in zip(body["files"], body.get("schema_id") or []):
+                    if s is not None:
+                        schema_ids_out[p] = s
+            else:  # plain-list manifest (pre-stats)
+                out[b] = list(body)
         else:  # inline list (pre-manifest snapshots, empty buckets)
             out[b] = list(v)
     return out
@@ -208,10 +263,14 @@ def load_snapshot(root: str, version: int | None = None) -> Snapshot | None:
         return None
     with open(_snap_path(root, v)) as f:
         snap = Snapshot.from_json(f.read())
-    snap.files = _resolve(root, snap.files)
+    stats: dict[str, int | None] = {}
+    sids: dict[str, int] = {}
+    snap.files = _resolve(root, snap.files, stats, sids)
     if snap.props and "deltas" in snap.props:
         snap.props = dict(snap.props)
-        snap.props["deltas"] = _resolve(root, snap.props["deltas"])
+        snap.props["deltas"] = _resolve(root, snap.props["deltas"], stats, sids)
+    snap.file_stats = stats
+    snap.file_schema_ids = sids
     return snap
 
 
@@ -229,10 +288,15 @@ def commit_snapshot(root: str, snap: Snapshot) -> None:
     """
     snap.committed_at_ms = int(time.time() * 1000)
     d = dict(snap.__dict__)
-    d["files"] = _externalize(root, snap.files)
+    # file_stats/file_schema_ids travel inside the manifests, never
+    # inline (inline would be O(total files) snapshot JSON — the exact
+    # thing manifests bound)
+    stats = d.pop("file_stats", None) or {}
+    sids = d.pop("file_schema_ids", None) or {}
+    d["files"] = _externalize(root, snap.files, stats, sids)
     if snap.props and "deltas" in snap.props:
         d["props"] = dict(snap.props)
-        d["props"]["deltas"] = _externalize(root, snap.props["deltas"])
+        d["props"]["deltas"] = _externalize(root, snap.props["deltas"], stats, sids)
     _atomic_write(_snap_path(root, snap.version), json.dumps(d, sort_keys=True))
     _atomic_write(_hint_path(root), str(snap.version))
 

@@ -121,6 +121,11 @@ class LakeTable:
             num_buckets=num_buckets,
             files={},
             key_cols=list(key_cols),
+            # schema log: id → schema json for every schema the table
+            # has ever had; data files record which id they were
+            # written under (manifests), so the read path can group
+            # files by physical schema after a type widening.
+            props={"schema_log": {"0": schema.json()}, "schema_id": 0},
         )
         cl.commit_snapshot(self.root, snap)
 
@@ -151,7 +156,12 @@ class LakeTable:
                 num_buckets=snap.num_buckets,
                 files={},
                 committed_batches=dict(snap.committed_batches),
-                props={"truncated": True, "deltas": {}},
+                props={
+                    "truncated": True,
+                    "deltas": {},
+                    "schema_id": self._schema_meta(snap)[0],
+                    "schema_log": self._schema_meta(snap)[1],
+                },
                 key_cols=snap.key_cols,
                 ledger_floor=dict(snap.ledger_floor),
             ),
@@ -207,15 +217,77 @@ class LakeTable:
     def _deltas(snap: cl.Snapshot) -> dict[str, list[str]]:
         return snap.props.get("deltas", {}) if snap.props else {}
 
+    @staticmethod
+    def _schema_meta(snap: cl.Snapshot) -> tuple[int, dict[str, str]]:
+        """(current schema id, schema log). Legacy tables (pre-schema-log
+        snapshots) get a synthetic log seeded with the current schema at
+        id 0 — sound because type changes were impossible before the log
+        existed, so every legacy file's types agree with it."""
+        props = snap.props or {}
+        sid = int(props.get("schema_id", 0))
+        log = dict(props.get("schema_log") or {})
+        if not log:
+            log["0"] = snap.schema_json
+        return sid, log
+
     def _read_files(
         self, snap: cl.Snapshot, files: list[str]
     ) -> DataFrame:
         phys = self._physical_schema(snap)
         if not files:
             return self.spark.createDataFrame([], phys)
-        # Explicit schema: files written before a schema evolution lack
-        # the new columns — the parquet reader fills them with null.
-        return self.spark.read.schema(phys).parquet(*files)
+        cur_types = {f.name: f.dataType for f in phys.fields}
+        _sid, log = self._schema_meta(snap)
+        # Group files by the physical types they were written under —
+        # only type-WIDENED columns (e.g. long → string after a payload
+        # type conflict) force a separate scan group; additive evolution
+        # null-fills under the current schema as before. The common case
+        # (no widening in any scanned file's schema) stays ONE scan.
+        over_cache: dict[int, dict[str, T.DataType]] = {}
+
+        def _overrides(sid: int) -> dict[str, T.DataType]:
+            if sid not in over_cache:
+                old = T.StructType.fromJson(
+                    json.loads(log.get(str(sid), snap.schema_json))
+                )
+                over_cache[sid] = {
+                    f.name: f.dataType
+                    for f in old.fields
+                    if f.name in cur_types and f.dataType != cur_types[f.name]
+                }
+            return over_cache[sid]
+
+        groups: dict[tuple, tuple[dict, list[str]]] = {}
+        for p in files:
+            ov = _overrides(snap.file_schema_ids.get(p, 0))
+            key = tuple(sorted((n, t.json()) for n, t in ov.items()))
+            groups.setdefault(key, (ov, []))[1].append(p)
+        if set(groups) == {()}:
+            # Explicit schema: files written before an additive evolution
+            # lack the new columns — the parquet reader fills them null.
+            return self.spark.read.schema(phys).parquet(*files)
+        parts = []
+        for ov, fs in groups.values():
+            rs = T.StructType(
+                [
+                    T.StructField(f.name, ov.get(f.name, f.dataType), True)
+                    for f in phys.fields
+                ]
+            )
+            parts.append(
+                self.spark.read.schema(rs)
+                .parquet(*fs)
+                .select(
+                    *[
+                        F.col(f.name).cast(f.dataType).alias(f.name)
+                        for f in phys.fields
+                    ]
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def read(
         self,
@@ -262,19 +334,32 @@ class LakeTable:
         reference replicates A→B→C by re-tailing each hop; here hop N+1
         just reads hop N's changes since its last consumed version).
 
-        Exactness: a row is a change iff its ``_last_seq`` exceeds the
-        base snapshot's tracked max applied seq — a pure filter the
-        parquet scan can push down, O(scanned files), no snapshot
-        diffing. Two documented caveats: (1) an out-of-order straggler
-        applied after ``since_version`` with a seq below that watermark
-        is invisible (same in-order window assumption as the ledger
+        Cost is O(changed data), not O(table): every manifest entry
+        carries its file's max ``_last_seq`` (parquet footer stats,
+        recorded at commit time), so base/delta files whose max is at or
+        below the watermark are dropped from the scan *before* the
+        merge-on-read LWW resolve. The pruned result is provably
+        identical to resolving everything: a pruned file's rows are all
+        ≤ floor, so none can be a change, and none can out-rank an
+        unpruned row that is > floor. A steady-state poll between
+        compactions therefore reads only the delta files newer than the
+        watermark. Files from pre-stats manifests (unknown max) are
+        never pruned — correct, just unpruned.
+
+        Two documented caveats: (1) an out-of-order straggler applied
+        after ``since_version`` with a seq below that watermark is
+        invisible (same in-order window assumption as the ledger
         floor); (2) tombstone retention must cover the consumer's lag,
         or expired tombstones drop delete events.
 
         Consumers should persist the watermark they consumed up to and
         pass it as ``since_seq`` — that form needs no old snapshot, so
         it survives expire_snapshots; ``since_version`` requires the
-        base snapshot to still be retained (clear error otherwise).
+        base snapshot to still be retained (clear error otherwise). A
+        base snapshot that has data but predates seq tracking raises
+        too (silently reporting the whole table as changes is the worse
+        failure); pass ``since_seq=-1`` to request an explicit full
+        resync.
         """
         if since_seq is not None:
             floor = since_seq
@@ -290,10 +375,57 @@ class LakeTable:
                     "cover the slowest consumer's lag"
                 ) from None
             floor = (base.props or {}).get("max_seq")
-        df = self.read(version, include_deleted=True, include_engine_cols=True)
+            if floor is None:
+                has_data = any(base.files.values()) or any(
+                    self._deltas(base).values()
+                )
+                if has_data:
+                    raise ValueError(
+                        f"base snapshot v{since_version} has data but no "
+                        "max_seq watermark (written before seq tracking) — "
+                        "every row would be reported as a change. Pass "
+                        "since_seq explicitly (since_seq=-1 for a full "
+                        "resync)."
+                    )
+        snap = self._snap(version)
+        deltas = self._deltas(snap)
+        stats = snap.file_stats
+
+        def _keep(p: str) -> bool:
+            if floor is None:
+                return True
+            mx = stats.get(p)
+            return mx is None or mx > floor
+
+        bucket_ids = list(snap.files.keys() | deltas.keys())
+        base_files = [
+            f for b in bucket_ids for f in snap.files.get(b, []) if _keep(f)
+        ]
+        delta_files = [f for b in bucket_ids for f in deltas.get(b, []) if _keep(f)]
+        df = self._read_files(snap, base_files + delta_files)
+        if delta_files:
+            df = lww_latest(df, self.key_columns(snap), LAST_SEQ_COL, tiebreak_col=None)
         if floor is not None:
             df = df.where(F.col(LAST_SEQ_COL) > F.lit(floor))
         return df
+
+    def changed_files(
+        self, since_seq: int, version: int | None = None
+    ) -> list[str]:
+        """The data files a ``read_changes(since_seq=...)`` poll will
+        scan — the manifest-pruning result, exposed for tests and
+        observability."""
+        snap = self._snap(version)
+        deltas = self._deltas(snap)
+        stats = snap.file_stats
+        out = []
+        for coll in (snap.files, deltas):
+            for fs in coll.values():
+                for f in fs:
+                    mx = stats.get(f)
+                    if mx is None or mx > since_seq:
+                        out.append(f)
+        return out
 
     # -- MERGE ---------------------------------------------------------
     def merge(
@@ -375,17 +507,41 @@ class LakeTable:
         new_cols = [c for c in batch_payload if c not in payload_in_table]
         bschema = {f.name: f for f in batch.schema.fields}
         new_fields = [T.StructField(c, bschema[c].dataType, True) for c in new_cols]
-        evolved_schema = T.StructType(list(logical.fields) + new_fields)
+        # TYPE evolution: a batch column whose type disagrees with the
+        # table's widens that column to string (the universal JSON
+        # carrier — from_json's StringType capture keeps any token's
+        # text). Existing files keep their physical type; the read path
+        # resolves via per-file schema ids, and compaction migrates
+        # files forward incrementally — no O(table) rewrite.
+        type_changed = [
+            c
+            for c in batch_payload
+            if c in payload_in_table
+            and bschema[c].dataType
+            != next(f.dataType for f in logical.fields if f.name == c)
+        ]
+        evolved_schema = T.StructType(
+            [
+                T.StructField(f.name, T.StringType(), True)
+                if f.name in type_changed
+                else f
+                for f in logical.fields
+            ]
+            + new_fields
+        )
         all_payload = payload_in_table + new_cols
 
         nb = snap.num_buckets
         src = batch.withColumn(BUCKET_COL, bucket_expr(nb, key_cols[0]))
+        # batch side of a type widening goes to string too
+        for c in type_changed:
+            src = src.withColumn(c, F.col(c).cast(T.StringType()))
         # columns the table has that this batch lacks (full-image
         # replace semantics: absent → null, see module docstring)
+        evolved_types = {f.name: f.dataType for f in evolved_schema.fields}
         for c in payload_in_table:
             if c not in batch.columns:
-                dt = next(f.dataType for f in logical.fields if f.name == c)
-                src = src.withColumn(c, F.lit(None).cast(dt))
+                src = src.withColumn(c, F.lit(None).cast(evolved_types[c]))
 
         if mode == "mor":
             # No pre-write bucket discovery needed: the partitioned delta
@@ -417,6 +573,7 @@ class LakeTable:
                 stats, files, deltas = self._merge_cow(
                     snap, src, batch_key, touched, all_payload, new_fields,
                     key_cols, seq_col, op_col, files_per_bucket,
+                    type_changed=type_changed,
                 )
             finally:
                 src.unpersist()
@@ -431,6 +588,11 @@ class LakeTable:
         prev_max = (snap.props or {}).get("max_seq")
         seqs = [x for x in (prev_max, stats.seq_hi) if x is not None]
         max_seq = max(seqs) if seqs else None
+        sid, slog = self._schema_meta(snap)
+        if evolved_schema.json() != snap.schema_json:
+            sid = new_version
+            slog[str(sid)] = evolved_schema.json()
+        file_stats, file_sids = self._next_file_meta(snap, files, deltas, sid)
         nsnap = cl.Snapshot(
             version=new_version,
             parent=snap.version,
@@ -443,13 +605,17 @@ class LakeTable:
                 "batch_key": batch_key,
                 "deltas": deltas,
                 "max_seq": max_seq,
+                "schema_id": sid,
+                "schema_log": slog,
             },
             key_cols=snap.key_cols,
             ledger_floor=floor,
+            file_stats=file_stats,
+            file_schema_ids=file_sids,
         )
         cl.commit_snapshot(self.root, nsnap)
         stats.version = new_version
-        stats.schema_evolved = len(new_cols)
+        stats.schema_evolved = len(new_cols) + len(type_changed)
         stats.touched_buckets = len(touched)
         if mode == "mor":
             max_chain = max((len(v) for v in deltas.values()), default=0)
@@ -487,9 +653,12 @@ class LakeTable:
             buckets=buckets, include_deleted=False, include_engine_cols=True
         )
         sdict = {f.name: f.dataType for f in src.schema.fields}
+        tdict = {f.name: f.dataType for f in tgt.schema.fields}
         for c in all_payload:
             if c not in tgt.columns:  # evolved cols absent from target
                 tgt = tgt.withColumn(c, F.lit(None).cast(sdict[c]))
+            elif tdict[c] != sdict[c]:  # type-widened this batch
+                tgt = tgt.withColumn(c, F.col(c).cast(sdict[c]))
         cond = [F.col(f"s.{k}") == F.col(f"t.{k}") for k in key_cols]
         s_part = F.coalesce(F.col("s._partial"), F.lit(False)) & (
             F.col(f"s.{op_col}") != F.lit(OP_DELETE)
@@ -516,12 +685,17 @@ class LakeTable:
     def _merge_cow(
         self, snap, src, batch_key, touched, all_payload, new_fields,
         key_cols, seq_col, op_col, files_per_bucket,
+        type_changed=(),
     ):
         tgt = self.read(
             buckets=touched, include_deleted=True, include_engine_cols=True
         )
         for f_ in new_fields:
             tgt = tgt.withColumn(f_.name, F.lit(None).cast(f_.dataType))
+        # target side of a type widening: cast to string so the merge
+        # projection's when/otherwise branches agree on type
+        for c in type_changed:
+            tgt = tgt.withColumn(c, F.col(c).cast(T.StringType()))
 
         s, t = src.alias("s"), tgt.alias("t")
         cond = [F.col(f"s.{k}") == F.col(f"t.{k}") for k in key_cols]
@@ -684,6 +858,8 @@ class LakeTable:
         for b in todo:
             files[b] = new_files.get(b, [])
             new_deltas.pop(b, None)
+        sid, slog = self._schema_meta(snap)
+        file_stats, file_sids = self._next_file_meta(snap, files, new_deltas, sid)
         nsnap = cl.Snapshot(
             version=new_version,
             parent=snap.version,
@@ -695,9 +871,13 @@ class LakeTable:
                 "compaction": True,
                 "deltas": new_deltas,
                 "max_seq": (snap.props or {}).get("max_seq"),
+                "schema_id": sid,
+                "schema_log": slog,
             },
             key_cols=snap.key_cols,
             ledger_floor=dict(snap.ledger_floor),
+            file_stats=file_stats,
+            file_schema_ids=file_sids,
         )
         cl.commit_snapshot(self.root, nsnap)
         return new_version
@@ -837,6 +1017,66 @@ class LakeTable:
             .partitionBy(BUCKET_COL)
             .parquet(out_dir)
         )
+
+    @staticmethod
+    def _parquet_max_seq(paths: Sequence[str]) -> dict[str, int | None]:
+        """Per-file max ``_last_seq`` from the parquet footers (the
+        Iceberg file-level column-stats idea). Driver-side, O(files
+        written this commit) ~1 ms footer reads, threaded; None when the
+        footer lacks usable stats (readers then simply never prune that
+        file)."""
+        import pyarrow.parquet as pq
+
+        def one(p: str) -> int | None:
+            try:
+                md = pq.ParquetFile(p).metadata
+                idx = None
+                for i in range(md.num_columns):
+                    if md.schema.column(i).name == LAST_SEQ_COL:
+                        idx = i
+                        break
+                if idx is None or md.num_rows == 0:
+                    return None
+                mx = None
+                for r in range(md.num_row_groups):
+                    st = md.row_group(r).column(idx).statistics
+                    if st is None or not st.has_min_max:
+                        return None
+                    mx = st.max if mx is None else max(mx, st.max)
+                return int(mx) if mx is not None else None
+            except Exception:
+                return None
+
+        if not paths:
+            return {}
+        if len(paths) == 1:
+            return {paths[0]: one(paths[0])}
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(min(8, len(paths))) as ex:
+            return dict(zip(paths, ex.map(one, paths)))
+
+    def _next_file_meta(
+        self,
+        snap: cl.Snapshot,
+        files: dict[str, list[str]],
+        deltas: dict[str, list[str]],
+        schema_id: int,
+    ) -> tuple[dict[str, int | None], dict[str, int]]:
+        """(stats, schema_ids) for the next snapshot: inherited entries
+        for surviving files + fresh footer reads / the commit's schema
+        id for files this commit introduced; dropped files are shed."""
+        live = {p for fs in files.values() for p in fs}
+        live |= {p for fs in deltas.values() for p in fs}
+        inherited = {
+            p: s for p, s in snap.file_stats.items() if p in live and s is not None
+        }
+        fresh = self._parquet_max_seq(sorted(live - inherited.keys()))
+        old_live = {p for fs in snap.files.values() for p in fs}
+        old_live |= {p for fs in self._deltas(snap).values() for p in fs}
+        sids = {p: s for p, s in snap.file_schema_ids.items() if p in live}
+        sids.update({p: schema_id for p in live - old_live})
+        return {**inherited, **fresh}, sids
 
     def _list_bucket_files(self, out_dir: str) -> dict[str, list[str]]:
         out: dict[str, list[str]] = {}

@@ -55,11 +55,16 @@ def infer_payload_schema(
         if not isinstance(obj, dict):
             continue
         for k, v in obj.items():
-            if k in fields:
-                continue
             t = _PYTYPE_TO_SPARK.get(type(v))
             if t is None:
                 t = T.StringType()  # nested/unknown → keep JSON text
+            if k in fields:
+                # same key, different JSON type across the sample →
+                # widen to string (the universal carrier) instead of
+                # locking to the first-seen type; null values don't vote
+                if v is not None and fields[k] != t:
+                    fields[k] = T.StringType()
+                continue
             fields[k] = t
     return T.StructType(
         [T.StructField(k, v, True) for k, v in sorted(fields.items())]
@@ -142,6 +147,61 @@ def _unseen_keys_flag(schema: T.StructType, doc_col: str = "doc"):
     known = [f.name for f in schema.fields]
     extra = F.array_except(keys, F.array(*[F.lit(k) for k in known])) if known else keys
     return F.size(extra) > 0
+
+
+def _string_shadow(schema: T.StructType) -> T.StructType:
+    return T.StructType(
+        [T.StructField(f.name, T.StringType(), True) for f in schema.fields]
+    )
+
+
+def _type_conflict_flag(schema: T.StructType, doc_col: str = "doc"):
+    """True where a known field's raw JSON value is present but
+    ``from_json`` under the inferred type nulls it — i.e. exactly the
+    rows whose values the old first-seen-type lock would have silently
+    dropped (int→string, scalar→object, ... mid-stream). Detection is a
+    null-delta between a typed parse and an all-string shadow parse
+    (StringType captures any JSON token's text, so shadow-null ⇔ the
+    value is genuinely absent/null). String-typed fields can't conflict
+    and don't vote."""
+    checked = [f.name for f in schema.fields if f.dataType != T.StringType()]
+    if not checked:
+        return F.lit(False)
+    typed = F.from_json(F.col(doc_col), schema)
+    shadow = F.from_json(F.col(doc_col), _string_shadow(schema))
+    cond = F.lit(False)
+    for n in checked:
+        cond = cond | (shadow[n].isNotNull() & typed[n].isNull())
+    return cond
+
+
+def _conflicted_fields(
+    df: DataFrame, schema: T.StructType, doc_col: str = "doc"
+) -> list[str]:
+    """Which fields have ≥1 type-conflicting value in ``df`` — one agg
+    job, run only on the rare widening-retry path."""
+    checked = [f.name for f in schema.fields if f.dataType != T.StringType()]
+    if not checked:
+        return []
+    typed = F.from_json(F.col(doc_col), schema).alias("_t")
+    shadow = F.from_json(F.col(doc_col), _string_shadow(schema)).alias("_s")
+    row = (
+        df.select(typed, shadow)
+        .agg(
+            *[
+                F.max(
+                    F.when(
+                        F.col("_s").getField(n).isNotNull()
+                        & F.col("_t").getField(n).isNull(),
+                        1,
+                    ).otherwise(0)
+                ).alias(n)
+                for n in checked
+            ]
+        )
+        .first()
+    )
+    return [n for n in checked if row[n]]
 
 
 def _widen(schema: T.StructType, extra: T.StructType) -> T.StructType:
@@ -251,15 +311,25 @@ def apply_batch(
     key_cols = table.key_columns()
 
     retries = 0
+    capped = False
     while True:
         raw = raw_batch
         obs_unseen = None
         if detect:
+            # one counter covers both lossy-parse classes: docs with keys
+            # outside the schema (additive evolution) and docs where a
+            # known field's JSON type conflicts with the inferred type
+            # (int→string, scalar→object — silently nulled by from_json
+            # without this)
             obs_unseen = Observation(f"unseen-{batch_key}-r{retries}")
             raw = raw.observe(
                 obs_unseen,
                 F.sum(
-                    F.when(_unseen_keys_flag(payload_schema), 1).otherwise(0)
+                    F.when(
+                        _unseen_keys_flag(payload_schema)
+                        | _type_conflict_flag(payload_schema),
+                        1,
+                    ).otherwise(0)
                 ).alias("unseen"),
             )
         flat = normalize(
@@ -305,10 +375,21 @@ def apply_batch(
             )
             break
         except _SchemaStale:
-            # widen from the rows that carry the unknown keys, re-apply;
-            # after 3 widenings commit as-is rather than loop (a doc
-            # whose keys never stabilize would stall the stream)
+            # widen from the rows that carry the unknown keys and/or
+            # type-conflicting values, re-apply; after 3 widenings
+            # commit as-is rather than loop (a doc whose keys never
+            # stabilize would stall the stream)
             retries += 1
+            conflicted = _conflicted_fields(raw_batch, payload_schema)
+            if conflicted:
+                payload_schema = T.StructType(
+                    [
+                        T.StructField(f.name, T.StringType(), True)
+                        if f.name in conflicted
+                        else f
+                        for f in payload_schema.fields
+                    ]
+                )
             extra = infer_payload_schema(
                 raw_batch.where(_unseen_keys_flag(payload_schema))
             )
@@ -317,7 +398,19 @@ def apply_batch(
                 schema_tracker.schema = payload_schema
                 schema_tracker.retries += 1
             if retries >= 3:
+                # the lossless guarantee degrades here — say so loudly
+                # and record it (ADVICE r02: no silent lossy commit)
                 detect = False
+                capped = True
+                import sys
+
+                print(
+                    f"WARNING replicator_spark: schema widening retry cap "
+                    f"hit for batch {batch_key}; committing with "
+                    f"still-unrecognized payload shapes nulled "
+                    f"(schema_capped=1)",
+                    file=sys.stderr,
+                )
 
     wall_ms = int((time.time() - t0) * 1000)
     if stats.replayed:
@@ -342,6 +435,7 @@ def apply_batch(
                 "deleted": stats.deleted,
                 "schema_evolved": stats.schema_evolved,
                 "schema_retries": retries,
+                "schema_capped": int(capped),
                 "touched_buckets": stats.touched_buckets,
                 "wall_ms": wall_ms,
             },
