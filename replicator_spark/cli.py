@@ -75,6 +75,13 @@ def _build_engine(cfg: JobConfig):
     from .model import KEY_COLS
     from .transform import Action, Condition, Rule, TransformEngine
 
+    # with partial_updates on, _partial is part of the merge contract:
+    # a rule that rewrites it would flip partial rows to full images and
+    # null every untouched column at merge time (ADVICE r02)
+    protected = ("event_id", "seq", "op", *KEY_COLS)
+    if cfg.partial_updates:
+        protected = (*protected, "_partial")
+
     rules = []
     for rd in cfg.transform_rules:
         rules.append(
@@ -88,7 +95,7 @@ def _build_engine(cfg: JobConfig):
                 validate=Condition(**rd["validate"]) if rd.get("validate") else None,
             )
         )
-    return TransformEngine(rules, protected=("event_id", "seq", "op", *KEY_COLS))
+    return TransformEngine(rules, protected=protected)
 
 
 def run_streaming_watched(spark, cfg: JobConfig, table, config_path: str | None):

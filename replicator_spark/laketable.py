@@ -593,6 +593,13 @@ class LakeTable:
             sid = new_version
             slog[str(sid)] = evolved_schema.json()
         file_stats, file_sids = self._next_file_meta(snap, files, deltas, sid)
+        # per-bucket tombstone stats describe BASE files only: mor
+        # appends deltas (base untouched → carry), cow rewrites touched
+        # buckets (their recorded stats go stale → drop, conservative)
+        bucket_tombstones = dict((snap.props or {}).get("bucket_tombstones", {}))
+        if mode != "mor":
+            for b in touched:
+                bucket_tombstones.pop(str(b), None)
         nsnap = cl.Snapshot(
             version=new_version,
             parent=snap.version,
@@ -607,6 +614,7 @@ class LakeTable:
                 "max_seq": max_seq,
                 "schema_id": sid,
                 "schema_log": slog,
+                "bucket_tombstones": bucket_tombstones,
             },
             key_cols=snap.key_cols,
             ledger_floor=floor,
@@ -826,7 +834,18 @@ class LakeTable:
         optionally drops tombstones older than a watermark the feed is
         guaranteed to have passed (bounding tombstone growth; unsafe to
         set below the source's max-reordering window). Returns the new
-        snapshot version, or the current one if nothing to compact."""
+        snapshot version, or the current one if nothing to compact.
+
+        Tombstone expiry reaches QUIET buckets too (VERDICT r02 #2):
+        every compaction records exact per-bucket tombstone stats
+        (count + min seq — props["bucket_tombstones"], O(num_buckets)
+        metadata, computed by a column-pruned scan of the files it just
+        wrote), so a later expiry-compaction can include a tombstone-
+        bearing bucket whose delta chain is empty — a delete-heavy
+        bucket that goes cold no longer retains its tombstones forever.
+        The exact min-seq prevents re-compaction livelock: a bucket is a
+        candidate only while it provably holds a tombstone below the
+        watermark."""
         snap = self._snap()
         deltas = self._deltas(snap)
         todo = (
@@ -834,6 +853,19 @@ class LakeTable:
             if buckets is None
             else [str(b) for b in buckets if deltas.get(str(b))]
         )
+        if expire_tombstones_below_seq is not None:
+            bt = (snap.props or {}).get("bucket_tombstones", {})
+            seen = set(todo)
+            todo += [
+                b
+                for b, (n, mn) in bt.items()
+                if b not in seen
+                and n
+                and mn is not None
+                and mn < expire_tombstones_below_seq
+                and snap.files.get(b)
+                and (buckets is None or int(b) in set(buckets))
+            ]
         if not todo:
             return snap.version
         table_keys = self.key_columns(snap)
@@ -860,6 +892,26 @@ class LakeTable:
             new_deltas.pop(b, None)
         sid, slog = self._schema_meta(snap)
         file_stats, file_sids = self._next_file_meta(snap, files, new_deltas, sid)
+        # exact per-bucket tombstone stats for the buckets just
+        # rewritten — a column-pruned (3-column) scan of the new base
+        # files, so later expiry runs can target quiet buckets precisely
+        bucket_tombstones = dict((snap.props or {}).get("bucket_tombstones", {}))
+        for b in todo:
+            bucket_tombstones[b] = [0, None]
+        if any(new_files.values()):
+            tomb = (
+                self.spark.read.option("basePath", out_dir)
+                .parquet(out_dir)
+                .where(F.col("_deleted"))
+                .groupBy(BUCKET_COL)
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.min(LAST_SEQ_COL).alias("mn"),
+                )
+                .collect()
+            )
+            for r in tomb:
+                bucket_tombstones[str(r[BUCKET_COL])] = [int(r["n"]), int(r["mn"])]
         nsnap = cl.Snapshot(
             version=new_version,
             parent=snap.version,
@@ -873,6 +925,7 @@ class LakeTable:
                 "max_seq": (snap.props or {}).get("max_seq"),
                 "schema_id": sid,
                 "schema_log": slog,
+                "bucket_tombstones": bucket_tombstones,
             },
             key_cols=snap.key_cols,
             ledger_floor=dict(snap.ledger_floor),
@@ -921,7 +974,12 @@ class LakeTable:
         versions = cl.list_versions(self.root)
         current = cl.current_version(self.root)
         keep_last = max(1, keep_last)
-        keep = set(versions[-keep_last:]) | {current}
+        # only COMMITTED versions occupy keep slots: a crash-orphaned
+        # v{N}.json above the hint (aborted commit) must not displace a
+        # real retained version (VERDICT r02 #5). Orphans are expired
+        # too (age-guarded below, like their data files).
+        committed_versions = [v for v in versions if v <= current]
+        keep = set(committed_versions[-keep_last:]) | {current}
         expired = [v for v in versions if v not in keep]
 
         referenced: set[str] = set()
@@ -958,11 +1016,18 @@ class LakeTable:
                 os.rmdir(dirpath)
 
         mdir = cl.meta_dir(self.root)
+        dropped = []
         for v in expired:
+            p = os.path.join(mdir, f"v{v}.json")
+            if v > current and not _old_enough(p):
+                # too-young orphan: could be a commit racing this GC
+                continue
             try:
-                os.remove(os.path.join(mdir, f"v{v}.json"))
+                os.remove(p)
             except FileNotFoundError:
                 pass
+            dropped.append(v)
+        expired = dropped
         removed_manifests = 0
         man_dir = os.path.join(mdir, "manifests")
         if os.path.isdir(man_dir):

@@ -52,7 +52,7 @@ def minhash_signatures(
     id_col: str = "doc_id",
     *,
     shingle_n: int = 5,
-    num_hashes: int = 64,
+    num_hashes: int = 128,
     seed: int = 42,
     impl: str = "arrow",
 ) -> DataFrame:

@@ -153,10 +153,20 @@ def from_cosmos_documents(
         .withColumn("db", F.lit(db))
         .withColumn("tbl", F.lit(container))
     )
+    # The reference's filter vocabulary is the PRE-canonical op name:
+    # determineOperationType returns "create" (cosmosdb.go:373-391) and
+    # shouldFilterOperation compares against it — a ported config with
+    # include_ops=["create"] must keep inserts, so map create→insert
+    # (ADVICE r02).
+    def _canon(ops):
+        return [
+            "insert" if o.lower() == "create" else o.lower() for o in ops
+        ]
+
     if include_ops:
-        out = out.where(F.col("op").isin(*[o.lower() for o in include_ops]))
+        out = out.where(F.col("op").isin(*_canon(include_ops)))
     if exclude_ops:
-        out = out.where(~F.col("op").isin(*[o.lower() for o in exclude_ops]))
+        out = out.where(~F.col("op").isin(*_canon(exclude_ops)))
     return out
 
 

@@ -166,3 +166,53 @@ def test_expire_snapshots_gc_bounds_disk(spark, tmp_path):
     # keep_last=0 never expires the current snapshot
     t.expire_snapshots(keep_last=0, min_age_s=0)
     assert t.read().count() == n + 1
+
+
+def test_expire_dangling_snapshot_does_not_occupy_keep_slot(spark, tmp_path):
+    """VERDICT r02 #5: a crash-orphaned v{N}.json above the hint
+    (aborted commit) must not displace a committed version from the
+    keep window — keep_last counts COMMITTED versions only."""
+    from replicator_spark import commitlog as cl
+
+    t = LakeTable(spark, str(tmp_path / "t"))
+    t.create(REPOS_SCHEMA, num_buckets=2)
+    for i in range(6):
+        t.merge(_tiny_batch(spark, i), f"s-{i}", mode="mor")
+    current = t._snap().version  # 6
+    # torn commit: snapshot json written, hint never swapped
+    snap = t._snap()
+    cl._atomic_write(
+        os.path.join(cl.meta_dir(t.root), f"v{current + 1}.json"),
+        open(os.path.join(cl.meta_dir(t.root), f"v{current}.json")).read()
+        .replace(f'"version": {current}', f'"version": {current + 1}'),
+    )
+    assert cl.current_version(t.root) == current  # hint untouched
+
+    res = t.expire_snapshots(keep_last=3, min_age_s=0)
+    retained_committed = [v for v in res["retained"] if v <= current]
+    assert retained_committed == [current - 2, current - 1, current]
+    # all three committed keep slots are readable
+    for v in retained_committed:
+        t.read(version=v).count()
+    # the aged dangling orphan's metadata was collected
+    assert not os.path.exists(
+        os.path.join(cl.meta_dir(t.root), f"v{current + 1}.json")
+    )
+
+
+def test_expire_spares_young_dangling_snapshot(spark, tmp_path):
+    """A too-young orphan above the hint could be a commit racing the
+    GC — its v{N}.json is spared by the min_age guard."""
+    from replicator_spark import commitlog as cl
+
+    t = LakeTable(spark, str(tmp_path / "t"))
+    t.create(REPOS_SCHEMA, num_buckets=2)
+    for i in range(3):
+        t.merge(_tiny_batch(spark, i), f"s-{i}", mode="mor")
+    current = t._snap().version
+    p = os.path.join(cl.meta_dir(t.root), f"v{current + 1}.json")
+    cl._atomic_write(
+        p, open(os.path.join(cl.meta_dir(t.root), f"v{current}.json")).read()
+    )
+    t.expire_snapshots(keep_last=2, min_age_s=600)
+    assert os.path.exists(p)  # young orphan spared

@@ -181,3 +181,83 @@ def test_tombstone_expiry_bounded_under_retention(spark, tmp_path):
     t.compact(expire_tombstones_below_seq=hi - 10)
     dead = t.read(include_deleted=True, include_engine_cols=True).where("_deleted")
     assert dead.agg({"_last_seq": "min"}).first()[0] >= hi - 10
+
+
+def test_tombstone_expiry_reaches_quiet_buckets(spark, tmp_path):
+    """VERDICT r02 #2 (what's wrong): a tombstone compacted into the
+    base file of a bucket that then stops receiving writes used to be
+    retained forever (compact only visited delta-bearing buckets). Per-
+    bucket tombstone stats recorded at compaction time now make quiet
+    buckets expiry candidates."""
+    from pyspark.sql import Row
+
+    table = LakeTable(spark, str(tmp_path / "t"))
+    table.create(REPOS_SCHEMA, num_buckets=4)
+
+    def batch(rows):
+        return spark.createDataFrame([Row(**r) for r in rows])
+
+    def row(repo, path, seq, op):
+        return dict(repo=repo, path=path, commit="c", lang="py",
+                    content=f"v{seq}", seq=seq, op=op, event_id=f"e{seq}")
+
+    # bucket A (repo 'cold'): insert then delete, then goes quiet
+    table.merge(batch([row("cold", "p1", 1, "insert"),
+                       row("cold", "p2", 2, "insert")]), "s-0", mode="mor")
+    table.merge(batch([row("cold", "p1", 3, "delete")]), "s-1", mode="mor")
+    table.compact()  # folds cold's tombstone into its base file
+    snap = table._snap()
+    bt = snap.props["bucket_tombstones"]
+    assert any(n for n, _ in bt.values()), "stats must record the tombstone"
+    assert not any(v for v in snap.props["deltas"].values())
+
+    # hot traffic elsewhere only; cold bucket's chain stays empty
+    for i in range(4, 10):
+        table.merge(batch([row("hot", f"q{i}", i, "insert")]), f"s-{i}",
+                    mode="mor")
+
+    dead = table.read(include_deleted=True, include_engine_cols=True).where(
+        "_deleted")
+    assert dead.count() == 1  # the quiet bucket's tombstone is still there
+
+    # retention has passed (watermark above the tombstone's seq):
+    # maintenance compaction must reach the quiet bucket and drop it
+    live_before = {(r["repo"], r["path"]) for r in table.read().collect()}
+    table.compact(expire_tombstones_below_seq=4)
+    assert table.read(include_deleted=True, include_engine_cols=True).where(
+        "_deleted").count() == 0
+    assert {(r["repo"], r["path"]) for r in table.read().collect()} == live_before
+    # stats now say clean → a further expiry run is a no-op version-wise
+    v = table._snap().version
+    bt2 = table._snap().props["bucket_tombstones"]
+    assert not any(n for n, _ in bt2.values())
+    table.compact(expire_tombstones_below_seq=10**9)
+    assert table._snap().version == v
+
+
+def test_quiet_bucket_expiry_never_resurrects(spark, tmp_path):
+    """LWW safety: expiry must not drop a tombstone that still guards
+    against an in-window straggler — only tombstones BELOW the
+    watermark go."""
+    from pyspark.sql import Row
+
+    table = LakeTable(spark, str(tmp_path / "t"))
+    table.create(REPOS_SCHEMA, num_buckets=4)
+
+    def batch(rows):
+        return spark.createDataFrame([Row(**r) for r in rows])
+
+    def row(repo, path, seq, op):
+        return dict(repo=repo, path=path, commit="c", lang="py",
+                    content=f"v{seq}", seq=seq, op=op, event_id=f"e{seq}")
+
+    table.merge(batch([row("a", "p", 1, "insert")]), "s-0", mode="mor")
+    table.merge(batch([row("a", "p", 5, "delete")]), "s-1", mode="mor")
+    table.compact()
+    # watermark below the tombstone: expiry keeps it
+    table.compact(expire_tombstones_below_seq=3)
+    assert table.read(include_deleted=True, include_engine_cols=True).where(
+        "_deleted").count() == 1
+    # straggler update with seq 2 arrives late → still rejected
+    table.merge(batch([row("a", "p", 2, "update")]), "s-2", mode="mor")
+    assert table.read().where("repo = 'a'").count() == 0

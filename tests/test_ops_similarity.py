@@ -131,3 +131,24 @@ def test_blocked_near_dup_auto_blocks_and_tiny_budget(spark, vecs):
         ).collect()
     }
     assert auto == ref and tiny == ref
+
+
+def test_ivf_sampled_training_recall(spark, vecs):
+    """VERDICT r02 #7: the contract query now trains the quantizer on a
+    train_fraction sample (the 100-TB path). Recall vs brute force must
+    hold with sampled training too."""
+    from replicator_spark.ops.similarity import ivf_knn
+
+    df, _ = vecs
+    queries = df.where(F.col("vec_id") < 5)
+    exact = brute_force_knn(df, queries, k=5)
+    approx = ivf_knn(df, queries, k=5, n_centroids=6, n_probe=3,
+                     train_fraction=0.5)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"recall {recall}"
+    # deterministic sampling: same result twice
+    again = ivf_knn(df, queries, k=5, n_centroids=6, n_probe=3,
+                    train_fraction=0.5)
+    assert {tuple(r) for r in approx.collect()} == {tuple(r) for r in again.collect()}
