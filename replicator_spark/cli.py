@@ -281,6 +281,66 @@ def cmd_metrics(table_root: str) -> int:
     return 0
 
 
+def cmd_config_backup(config_path: str, table_root: str) -> int:
+    """Config backup (the reference's ``pkg/api`` config backup/restore
+    endpoints — the one management-API feature round 2 had no
+    equivalent for). The VALIDATED config is archived next to the table
+    it drives (``<table_root>/_config/backup-<ts>.json``, atomic
+    write), so a table carries the history of job specs that fed it."""
+    import os
+    import time
+
+    from . import commitlog as cl
+
+    cfg = load_config(config_path)  # raises on unknown keys
+    errs = cfg.validate()
+    if errs:
+        print("\n".join(f"error: {e}" for e in errs), file=sys.stderr)
+        return 1
+    ts = int(time.time() * 1000)
+    path = os.path.join(table_root, "_config", f"backup-{ts}.json")
+    cl._atomic_write(path, json.dumps(cfg.__dict__, indent=2, sort_keys=True))
+    print(json.dumps({"backup_id": str(ts), "path": path}))
+    return 0
+
+
+def cmd_config_restore(
+    table_root: str, out: str, backup_id: str | None, list_only: bool
+) -> int:
+    """Restore (or list) archived job configs. Restore re-validates —
+    a backup from an older engine version with unknown keys fails
+    loudly rather than silently running a half-understood job."""
+    import os
+
+    from . import commitlog as cl
+
+    d = os.path.join(table_root, "_config")
+    backups = sorted(
+        f[len("backup-"):-len(".json")]
+        for f in (os.listdir(d) if os.path.isdir(d) else [])
+        if f.startswith("backup-") and f.endswith(".json")
+    )
+    if list_only:
+        print(json.dumps({"backups": backups}))
+        return 0
+    if not backups:
+        print("error: no config backups found", file=sys.stderr)
+        return 1
+    bid = backup_id or backups[-1]
+    if bid not in backups:
+        print(f"error: no backup {bid} (have {backups})", file=sys.stderr)
+        return 1
+    with open(os.path.join(d, f"backup-{bid}.json")) as f:
+        cfg = JobConfig.from_dict(json.load(f))
+    errs = cfg.validate()
+    if errs:
+        print("\n".join(f"error: {e}" for e in errs), file=sys.stderr)
+        return 1
+    cl._atomic_write(out, json.dumps(cfg.__dict__, indent=2, sort_keys=True))
+    print(json.dumps({"restored": bid, "out": out}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="replicator_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -305,6 +365,15 @@ def main(argv: list[str] | None = None) -> int:
     # concurrent-writer guard: unreferenced files younger than this are
     # spared (an in-flight merge's files look like orphans until commit)
     ep.add_argument("--min-age-s", type=float, default=600.0)
+    bp = sub.add_parser("config-backup")
+    bp.add_argument("--config", required=True)
+    bp.add_argument("--table-root", required=True)
+    rp = sub.add_parser("config-restore")
+    rp.add_argument("--table-root", required=True)
+    rp.add_argument("--out", required=True)
+    rp.add_argument("--backup-id", default=None,
+                    help="timestamp id from config-backup --list (default: newest)")
+    rp.add_argument("--list", action="store_true", dest="list_only")
     args = p.parse_args(argv)
 
     if args.cmd == "metrics":
@@ -317,6 +386,12 @@ def main(argv: list[str] | None = None) -> int:
         return cmd_history(args.table_root)
     if args.cmd == "expire":
         return cmd_expire(args.table_root, args.keep_last, args.min_age_s)
+    if args.cmd == "config-backup":
+        return cmd_config_backup(args.config, args.table_root)
+    if args.cmd == "config-restore":
+        return cmd_config_restore(
+            args.table_root, args.out, args.backup_id, args.list_only
+        )
 
     cfg = load_config(args.config)
     errs = cfg.validate()
