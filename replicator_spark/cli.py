@@ -42,6 +42,9 @@ class JobConfig:
     watch_config: bool = False
     partial_updates: bool = False
     tombstone_retention: int | None = None
+    # reference QualityOfService vocabulary (pkg/models/types.go:127-134):
+    # {"retry_policy": {...}, "circuit_breaker": {...}} — see qos.py
+    qos: dict | None = None
 
     @staticmethod
     def from_dict(d: dict) -> "JobConfig":
@@ -124,6 +127,8 @@ def run_streaming_watched(spark, cfg: JobConfig, table, config_path: str | None)
 
     while True:
         engine = _build_engine(cfg)
+        from .qos import QoS
+
         q = run_stream(
             spark,
             cfg.feed_dir,
@@ -136,6 +141,7 @@ def run_streaming_watched(spark, cfg: JobConfig, table, config_path: str | None)
             partial_updates=cfg.partial_updates,
             tombstone_retention=cfg.tombstone_retention,
             transform_engine=engine,
+            qos=QoS.from_dict(cfg.qos),
         )
         watching = cfg.watch_config and config_path
         mtime = os.path.getmtime(config_path) if watching else None
@@ -195,6 +201,8 @@ def cmd_run(cfg: JobConfig, config_path: str | None = None) -> int:
     if cfg.streaming:
         run_streaming_watched(spark, cfg, table, config_path)
     else:
+        from .qos import QoS
+
         replay_feed(
             spark,
             cfg.feed_dir,
@@ -206,6 +214,7 @@ def cmd_run(cfg: JobConfig, config_path: str | None = None) -> int:
             partial_updates=cfg.partial_updates,
             tombstone_retention=cfg.tombstone_retention,
             transform_engine=engine,
+            qos=QoS.from_dict(cfg.qos),
         )
     n = table.read().count()
     print(json.dumps({"job": cfg.name, "live_rows": n, "version": table._snap().version}))
@@ -299,6 +308,9 @@ def cmd_config_backup(config_path: str, table_root: str) -> int:
         return 1
     ts = int(time.time() * 1000)
     path = os.path.join(table_root, "_config", f"backup-{ts}.json")
+    while os.path.exists(path):  # two backups in the same millisecond
+        ts += 1
+        path = os.path.join(table_root, "_config", f"backup-{ts}.json")
     cl._atomic_write(path, json.dumps(cfg.__dict__, indent=2, sort_keys=True))
     print(json.dumps({"backup_id": str(ts), "path": path}))
     return 0

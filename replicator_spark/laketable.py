@@ -41,10 +41,15 @@ merge-on-read — the decisive design choice for CDC at 10^10 events):
 
 Both modes commit through the same atomic snapshot log and the same
 batch-key idempotence ledger; both support additive schema evolution
-(new payload columns widen the snapshot schema; older files read nulls).
+(new payload columns widen the snapshot schema; older files read nulls)
+and type-WIDENING evolution (a column whose incoming type conflicts
+with the table's widens long/double → double, else → string; files keep
+their physical type and carry a schema id in the manifests — the read
+path groups scans by id and casts, and compaction migrates files to the
+current schema incrementally).
 
-Additive evolution only — MODIFY/DROP stay out of scope, matching the
-reference's "no schema change replication" stance (``README.md:48``).
+Narrowing/DROP stay out of scope, matching the reference's "no schema
+change replication" stance (``README.md:48``).
 """
 
 from __future__ import annotations
@@ -61,6 +66,14 @@ from pyspark.sql import types as T
 from . import commitlog as cl
 from .dedup import lww_latest
 from .model import BUCKET_COL, KEY_COLS, LAST_SEQ_COL, OP_DELETE
+
+
+def _widen_type(a: T.DataType, b: T.DataType) -> T.DataType:
+    """Least common carrier for a column type conflict (shared with the
+    pipeline): long/double → double, else string."""
+    if {a, b} == {T.LongType(), T.DoubleType()}:
+        return T.DoubleType()
+    return T.StringType()
 
 ENGINE_COLS = [LAST_SEQ_COL, "_deleted"]
 
@@ -388,6 +401,21 @@ class LakeTable:
                         "resync)."
                     )
         snap = self._snap(version)
+        base_files, delta_files = self._pruned_scan_files(snap, floor)
+        df = self._read_files(snap, base_files + delta_files)
+        if delta_files:
+            df = lww_latest(df, self.key_columns(snap), LAST_SEQ_COL, tiebreak_col=None)
+        if floor is not None:
+            df = df.where(F.col(LAST_SEQ_COL) > F.lit(floor))
+        return df
+
+    def _pruned_scan_files(
+        self, snap: cl.Snapshot, floor: int | None
+    ) -> tuple[list[str], list[str]]:
+        """(base_files, delta_files) whose manifest max ``_last_seq``
+        exceeds ``floor`` (unknown stat ⇒ kept) — the ONE pruning
+        predicate, shared by read_changes and changed_files so the
+        observability surface can never drift from the actual scan."""
         deltas = self._deltas(snap)
         stats = snap.file_stats
 
@@ -398,16 +426,9 @@ class LakeTable:
             return mx is None or mx > floor
 
         bucket_ids = list(snap.files.keys() | deltas.keys())
-        base_files = [
-            f for b in bucket_ids for f in snap.files.get(b, []) if _keep(f)
-        ]
-        delta_files = [f for b in bucket_ids for f in deltas.get(b, []) if _keep(f)]
-        df = self._read_files(snap, base_files + delta_files)
-        if delta_files:
-            df = lww_latest(df, self.key_columns(snap), LAST_SEQ_COL, tiebreak_col=None)
-        if floor is not None:
-            df = df.where(F.col(LAST_SEQ_COL) > F.lit(floor))
-        return df
+        base = [f for b in bucket_ids for f in snap.files.get(b, []) if _keep(f)]
+        delta = [f for b in bucket_ids for f in deltas.get(b, []) if _keep(f)]
+        return base, delta
 
     def changed_files(
         self, since_seq: int, version: int | None = None
@@ -415,17 +436,8 @@ class LakeTable:
         """The data files a ``read_changes(since_seq=...)`` poll will
         scan — the manifest-pruning result, exposed for tests and
         observability."""
-        snap = self._snap(version)
-        deltas = self._deltas(snap)
-        stats = snap.file_stats
-        out = []
-        for coll in (snap.files, deltas):
-            for fs in coll.values():
-                for f in fs:
-                    mx = stats.get(f)
-                    if mx is None or mx > since_seq:
-                        out.append(f)
-        return out
+        base, delta = self._pruned_scan_files(self._snap(version), since_seq)
+        return base + delta
 
     # -- MERGE ---------------------------------------------------------
     def merge(
@@ -508,21 +520,21 @@ class LakeTable:
         bschema = {f.name: f for f in batch.schema.fields}
         new_fields = [T.StructField(c, bschema[c].dataType, True) for c in new_cols]
         # TYPE evolution: a batch column whose type disagrees with the
-        # table's widens that column to string (the universal JSON
-        # carrier — from_json's StringType capture keeps any token's
-        # text). Existing files keep their physical type; the read path
-        # resolves via per-file schema ids, and compaction migrates
-        # files forward incrementally — no O(table) rewrite.
-        type_changed = [
-            c
+        # table's widens that column — long/double conflicts stay
+        # numeric (double); anything else goes to string (the universal
+        # JSON carrier — from_json's StringType capture keeps any
+        # token's text). Existing files keep their physical type; the
+        # read path resolves via per-file schema ids, and compaction
+        # migrates files forward incrementally — no O(table) rewrite.
+        ltypes = {f.name: f.dataType for f in logical.fields}
+        type_changed = {
+            c: _widen_type(ltypes[c], bschema[c].dataType)
             for c in batch_payload
-            if c in payload_in_table
-            and bschema[c].dataType
-            != next(f.dataType for f in logical.fields if f.name == c)
-        ]
+            if c in payload_in_table and bschema[c].dataType != ltypes[c]
+        }
         evolved_schema = T.StructType(
             [
-                T.StructField(f.name, T.StringType(), True)
+                T.StructField(f.name, type_changed[f.name], True)
                 if f.name in type_changed
                 else f
                 for f in logical.fields
@@ -533,9 +545,9 @@ class LakeTable:
 
         nb = snap.num_buckets
         src = batch.withColumn(BUCKET_COL, bucket_expr(nb, key_cols[0]))
-        # batch side of a type widening goes to string too
-        for c in type_changed:
-            src = src.withColumn(c, F.col(c).cast(T.StringType()))
+        # batch side of a type widening casts to the widened type
+        for c, wt in type_changed.items():
+            src = src.withColumn(c, F.col(c).cast(wt))
         # columns the table has that this batch lacks (full-image
         # replace semantics: absent → null, see module docstring)
         evolved_types = {f.name: f.dataType for f in evolved_schema.fields}
@@ -700,10 +712,10 @@ class LakeTable:
         )
         for f_ in new_fields:
             tgt = tgt.withColumn(f_.name, F.lit(None).cast(f_.dataType))
-        # target side of a type widening: cast to string so the merge
-        # projection's when/otherwise branches agree on type
-        for c in type_changed:
-            tgt = tgt.withColumn(c, F.col(c).cast(T.StringType()))
+        # target side of a type widening: cast so the merge projection's
+        # when/otherwise branches agree on type
+        for c, wt in type_changed.items():
+            tgt = tgt.withColumn(c, F.col(c).cast(wt))
 
         s, t = src.alias("s"), tgt.alias("t")
         cond = [F.col(f"s.{k}") == F.col(f"t.{k}") for k in key_cols]

@@ -67,8 +67,18 @@ def _append(dirpath: str, row: dict) -> None:
     os.makedirs(dirpath, exist_ok=True)
     row = {**row, "ts_ms": int(time.time() * 1000)}
     path = os.path.join(dirpath, "log.jsonl")
+    # torn-tail repair: a crash mid-append can leave a line without its
+    # newline; start a fresh line so only THAT row is lost, not this one
+    lead = ""
+    try:
+        with open(path, "rb") as f:
+            f.seek(-1, os.SEEK_END)
+            if f.read(1) != b"\n":
+                lead = "\n"
+    except (FileNotFoundError, OSError):
+        pass
     with open(path, "a") as f:
-        f.write(json.dumps(row) + "\n")
+        f.write(lead + json.dumps(row) + "\n")
     if os.path.getsize(path) >= ROLL_BYTES:
         # atomic rename; single writer (the Spark driver) assumed, same
         # as the snapshot log
@@ -84,9 +94,19 @@ def append_lineage(table_root: str, row: dict) -> None:
 
 
 def _iter_rows(dirpath: str):
+    """All rows, newest format and legacy alike: pre-upgrade tables
+    wrote one parquet part per batch — their history must not vanish
+    from the counters after the JSONL switch."""
     if not os.path.isdir(dirpath):
         return
-    for name in sorted(os.listdir(dirpath)):
+    names = sorted(os.listdir(dirpath))
+    pq_parts = [n for n in names if n.endswith(".parquet")]
+    if pq_parts:
+        import pyarrow.parquet as _pq
+
+        for n in pq_parts:
+            yield from _pq.read_table(os.path.join(dirpath, n)).to_pylist()
+    for name in names:
         if not name.endswith(".jsonl"):
             continue
         with open(os.path.join(dirpath, name)) as f:
@@ -97,21 +117,32 @@ def _iter_rows(dirpath: str):
                     continue  # torn tail line from a crash mid-append
 
 
-def read_metrics(spark, table_root: str):
+def _read(spark, dirpath: str, schema: T.StructType):
     # DROPMALFORMED: a crash mid-append can leave one torn tail line
-    return (
-        spark.read.schema(METRICS_SCHEMA)
+    df = (
+        spark.read.schema(schema)
         .option("mode", "DROPMALFORMED")
-        .json(os.path.join(table_root, "_metrics"))
+        .json(os.path.join(dirpath, "*.jsonl"))
     )
+    legacy = (
+        [n for n in os.listdir(dirpath) if n.endswith(".parquet")]
+        if os.path.isdir(dirpath)
+        else []
+    )
+    if legacy:  # pre-upgrade parquet parts
+        old = spark.read.schema(schema).parquet(
+            *[os.path.join(dirpath, n) for n in legacy]
+        )
+        df = old.unionByName(df)
+    return df
+
+
+def read_metrics(spark, table_root: str):
+    return _read(spark, os.path.join(table_root, "_metrics"), METRICS_SCHEMA)
 
 
 def read_lineage(spark, table_root: str):
-    return (
-        spark.read.schema(LINEAGE_SCHEMA)
-        .option("mode", "DROPMALFORMED")
-        .json(os.path.join(table_root, "_lineage"))
-    )
+    return _read(spark, os.path.join(table_root, "_lineage"), LINEAGE_SCHEMA)
 
 
 def to_prometheus_text(table_root: str) -> str:

@@ -18,7 +18,7 @@ from pyspark.sql import types as T
 
 from . import metrics as M
 from .dedup import lww_collapse_partial, lww_latest
-from .laketable import LakeTable, MergeStats
+from .laketable import LakeTable, MergeStats, _widen_type
 from .model import KEY_COLS
 
 _PYTYPE_TO_SPARK = {
@@ -27,6 +27,7 @@ _PYTYPE_TO_SPARK = {
     int: T.LongType(),
     float: T.DoubleType(),
 }
+
 
 
 def infer_payload_schema(
@@ -60,10 +61,12 @@ def infer_payload_schema(
                 t = T.StringType()  # nested/unknown → keep JSON text
             if k in fields:
                 # same key, different JSON type across the sample →
-                # widen to string (the universal carrier) instead of
-                # locking to the first-seen type; null values don't vote
+                # widen: numerically-compatible conflicts keep the
+                # least common numeric supertype (long/double →
+                # double), anything else goes to string (the universal
+                # carrier); null values don't vote
                 if v is not None and fields[k] != t:
-                    fields[k] = T.StringType()
+                    fields[k] = _widen_type(fields[k], t)
                 continue
             fields[k] = t
     return T.StructType(
@@ -76,6 +79,7 @@ def normalize(
     payload_schema: T.StructType,
     key_cols=tuple(KEY_COLS),
     partial_updates: bool = False,
+    stale_obs: Observation | None = None,
 ) -> DataFrame:
     """Canonical change record → flat MERGE input.
 
@@ -97,6 +101,24 @@ def normalize(
     reserved = set(key_cols) | {"event_id", "seq", "op"}
     payload_cols = [f.name for f in payload_schema.fields if f.name not in reserved]
     out = df.withColumn("_p", F.from_json(F.col("doc"), payload_schema))
+    if stale_obs is not None:
+        # lossy-parse detection rides the SAME typed parse the select
+        # below consumes (no second full from_json): docs with unseen
+        # keys (additive evolution) or whose known non-string fields
+        # null under the typed parse while the narrow string-shadow
+        # parse sees a value (type conflict)
+        out = out.observe(
+            stale_obs,
+            F.sum(
+                F.when(
+                    _unseen_keys_flag(payload_schema)
+                    | _type_conflict_flag(
+                        payload_schema, typed_col=F.col("_p")
+                    ),
+                    1,
+                ).otherwise(0)
+            ).alias("unseen"),
+        )
     sel = [F.col("event_id"), F.col("seq"), F.col("op")]
     sel += [F.col(f"key.{k}").alias(k) for k in key_cols]
     sel += [F.col(f"_p.{c}").alias(c) for c in payload_cols]
@@ -150,25 +172,38 @@ def _unseen_keys_flag(schema: T.StructType, doc_col: str = "doc"):
 
 
 def _string_shadow(schema: T.StructType) -> T.StructType:
+    """String-typed shadow of the NON-string fields only: string fields
+    can't conflict, and skipping them keeps the shadow parse from
+    re-reading the large text columns (content) on the hot path."""
     return T.StructType(
-        [T.StructField(f.name, T.StringType(), True) for f in schema.fields]
+        [
+            T.StructField(f.name, T.StringType(), True)
+            for f in schema.fields
+            if f.dataType != T.StringType()
+        ]
     )
 
 
-def _type_conflict_flag(schema: T.StructType, doc_col: str = "doc"):
+def _type_conflict_flag(
+    schema: T.StructType, doc_col: str = "doc", typed_col: F.Column | None = None
+):
     """True where a known field's raw JSON value is present but
     ``from_json`` under the inferred type nulls it — i.e. exactly the
     rows whose values the old first-seen-type lock would have silently
     dropped (int→string, scalar→object, ... mid-stream). Detection is a
-    null-delta between a typed parse and an all-string shadow parse
-    (StringType captures any JSON token's text, so shadow-null ⇔ the
-    value is genuinely absent/null). String-typed fields can't conflict
-    and don't vote."""
-    checked = [f.name for f in schema.fields if f.dataType != T.StringType()]
+    null-delta between the typed parse and a string shadow parse of the
+    non-string fields (StringType captures any JSON token's text, so
+    shadow-null ⇔ the value is genuinely absent/null).
+
+    ``typed_col``: reuse an existing parsed-struct column (normalize's
+    ``_p``) instead of parsing again — on the steady-state hot path the
+    only extra work is then the narrow shadow parse."""
+    shadow_schema = _string_shadow(schema)
+    checked = [f.name for f in shadow_schema.fields]
     if not checked:
         return F.lit(False)
-    typed = F.from_json(F.col(doc_col), schema)
-    shadow = F.from_json(F.col(doc_col), _string_shadow(schema))
+    typed = typed_col if typed_col is not None else F.from_json(F.col(doc_col), schema)
+    shadow = F.from_json(F.col(doc_col), shadow_schema)
     cond = F.lit(False)
     for n in checked:
         cond = cond | (shadow[n].isNotNull() & typed[n].isNull())
@@ -177,31 +212,47 @@ def _type_conflict_flag(schema: T.StructType, doc_col: str = "doc"):
 
 def _conflicted_fields(
     df: DataFrame, schema: T.StructType, doc_col: str = "doc"
-) -> list[str]:
-    """Which fields have ≥1 type-conflicting value in ``df`` — one agg
-    job, run only on the rare widening-retry path."""
-    checked = [f.name for f in schema.fields if f.dataType != T.StringType()]
+) -> dict[str, T.DataType]:
+    """Fields with ≥1 type-conflicting value in ``df``, each mapped to
+    its widened target type: a long field whose conflicting values are
+    all numeric widens to double (stays aggregatable/range-filterable);
+    anything else widens to string. One agg job, run only on the rare
+    widening-retry path."""
+    shadow_schema = _string_shadow(schema)
+    checked = [f.name for f in shadow_schema.fields]
     if not checked:
-        return []
+        return {}
     typed = F.from_json(F.col(doc_col), schema).alias("_t")
-    shadow = F.from_json(F.col(doc_col), _string_shadow(schema)).alias("_s")
-    row = (
-        df.select(typed, shadow)
-        .agg(
-            *[
-                F.max(
-                    F.when(
-                        F.col("_s").getField(n).isNotNull()
-                        & F.col("_t").getField(n).isNull(),
-                        1,
-                    ).otherwise(0)
-                ).alias(n)
-                for n in checked
-            ]
+    shadow = F.from_json(F.col(doc_col), shadow_schema).alias("_s")
+
+    def _conflict(n):
+        return (
+            F.col("_s").getField(n).isNotNull()
+            & F.col("_t").getField(n).isNull()
         )
-        .first()
-    )
-    return [n for n in checked if row[n]]
+
+    aggs = []
+    for n in checked:
+        aggs.append(F.max(F.when(_conflict(n), 1).otherwise(0)).alias(f"c_{n}"))
+        aggs.append(
+            F.max(
+                F.when(
+                    _conflict(n)
+                    & F.col("_s").getField(n).try_cast("double").isNull(),
+                    1,
+                ).otherwise(0)
+            ).alias(f"nn_{n}")  # conflicting AND non-numeric
+        )
+    row = df.select(typed, shadow).agg(*aggs).first()
+    types = {f.name: f.dataType for f in schema.fields}
+    out: dict[str, T.DataType] = {}
+    for n in checked:
+        if row[f"c_{n}"]:
+            if types[n] == T.LongType() and not row[f"nn_{n}"]:
+                out[n] = T.DoubleType()
+            else:
+                out[n] = T.StringType()
+    return out
 
 
 def _widen(schema: T.StructType, extra: T.StructType) -> T.StructType:
@@ -313,27 +364,15 @@ def apply_batch(
     retries = 0
     capped = False
     while True:
-        raw = raw_batch
         obs_unseen = None
         if detect:
-            # one counter covers both lossy-parse classes: docs with keys
-            # outside the schema (additive evolution) and docs where a
-            # known field's JSON type conflicts with the inferred type
-            # (int→string, scalar→object — silently nulled by from_json
-            # without this)
             obs_unseen = Observation(f"unseen-{batch_key}-r{retries}")
-            raw = raw.observe(
-                obs_unseen,
-                F.sum(
-                    F.when(
-                        _unseen_keys_flag(payload_schema)
-                        | _type_conflict_flag(payload_schema),
-                        1,
-                    ).otherwise(0)
-                ).alias("unseen"),
-            )
         flat = normalize(
-            raw, payload_schema, key_cols=key_cols, partial_updates=partial_updates
+            raw_batch,
+            payload_schema,
+            key_cols=key_cols,
+            partial_updates=partial_updates,
+            stale_obs=obs_unseen,
         )
         if transform_engine is not None:
             flat, dead = transform_engine.apply(flat)
@@ -384,7 +423,7 @@ def apply_batch(
             if conflicted:
                 payload_schema = T.StructType(
                     [
-                        T.StructField(f.name, T.StringType(), True)
+                        T.StructField(f.name, conflicted[f.name], True)
                         if f.name in conflicted
                         else f
                         for f in payload_schema.fields
@@ -471,6 +510,7 @@ def replay_feed(
     tombstone_retention: int | None = None,
     transform_engine=None,
     ledger_keep: int | None = 1024,
+    qos=None,
 ) -> list[BatchResult]:
     """Batch-mode replay of a partitioned feed directory, one MERGE per
     batch partition — semantically identical to the streaming path
@@ -489,7 +529,11 @@ def replay_feed(
 
     A pause marker (lifecycle.pause) for ``stream_name`` stops the
     replay before the next batch; a later rerun after lifecycle.resume
-    continues from the ledger — committed batches replay as no-ops."""
+    continues from the ledger — committed batches replay as no-ops.
+
+    ``qos`` (qos.QoS): retry-with-backoff + circuit breaker around each
+    batch apply — safe because a failed merge commits nothing and a
+    retried committed batch is a ledger no-op."""
     import os
 
     from . import lifecycle
@@ -506,8 +550,9 @@ def replay_feed(
         if lifecycle.is_paused(table.root, stream_name):
             break
         bdf = spark.read.parquet(f"{feed_dir}/batch_id={b}")
-        out.append(
-            apply_batch(
+
+        def _one(b=b, bdf=bdf):
+            return apply_batch(
                 table,
                 bdf,
                 batch_key=f"{stream_name}-{b}",
@@ -522,5 +567,6 @@ def replay_feed(
                 transform_engine=transform_engine,
                 ledger_keep=ledger_keep,
             )
-        )
+
+        out.append(qos.run(_one) if qos is not None else _one())
     return out

@@ -1,0 +1,207 @@
+"""Quality-of-service wrapper around micro-batch application: retry
+with exponential backoff + a three-state circuit breaker.
+
+The reference DECLARES this whole block and never implements it:
+``RetryPolicy{MaxRetries, InitialDelay, MaxDelay, BackoffFactor,
+RetryableErrors}`` and ``CircuitBreakerConfig{Enabled,
+FailureThreshold, RecoveryTimeout, HalfOpenRequests}`` inside
+``QualityOfService`` (``pkg/models/types.go:110-134``) are config
+structs no code consults. Here they are real, wrapped around the one
+operation that can fail — applying a micro-batch to the sink.
+
+Safety: retrying ``apply_batch`` is idempotent by construction — a
+failed merge aborts before its snapshot commit (nothing is visible),
+and a retry of an already-committed batch key is a ledger no-op — so
+at-least-once retry composes with the exactly-once ledger to stay
+exactly-once.
+
+Breaker semantics (classic three-state): CLOSED counts consecutive
+failures; at ``failure_threshold`` it OPENS and ``call`` BLOCKS (the
+micro-batch pattern's backpressure — the stream waits rather than
+dropping events, unlike the reference's drop-on-full-channel,
+``pkg/streams/mysql_stream.go:424-438``); after ``recovery_timeout_s``
+it HALF-OPENS and admits ``half_open_requests`` probes — success
+closes it, failure re-opens.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+
+@dataclass
+class RetryPolicy:
+    """``pkg/models/types.go:111-117`` made real. ``retryable_errors``:
+    substrings matched against the exception text; empty = everything
+    retryable (the reference's list is free-form strings too)."""
+
+    max_retries: int = 3
+    initial_delay_s: float = 0.5
+    max_delay_s: float = 30.0
+    backoff_factor: float = 2.0
+    retryable_errors: tuple[str, ...] = ()
+
+    def is_retryable(self, exc: BaseException) -> bool:
+        if not self.retryable_errors:
+            return True
+        text = f"{type(exc).__name__}: {exc}"
+        return any(s in text for s in self.retryable_errors)
+
+    def delay(self, attempt: int) -> float:
+        return min(
+            self.max_delay_s, self.initial_delay_s * self.backoff_factor**attempt
+        )
+
+
+class CircuitOpen(RuntimeError):
+    """Raised by ``CircuitBreaker.call`` when the circuit is open and
+    ``wait_when_open=False``."""
+
+
+@dataclass
+class CircuitBreakerConfig:
+    """``pkg/models/types.go:119-125`` made real."""
+
+    enabled: bool = True
+    failure_threshold: int = 5
+    recovery_timeout_s: float = 60.0
+    half_open_requests: int = 1
+
+
+@dataclass
+class CircuitBreaker:
+    config: CircuitBreakerConfig = field(default_factory=CircuitBreakerConfig)
+    clock: object = time.monotonic  # injectable for tests
+    state: str = "closed"  # closed | open | half_open
+    consecutive_failures: int = 0
+    opened_at: float | None = None
+    half_open_inflight: int = 0
+
+    def _maybe_half_open(self) -> None:
+        if (
+            self.state == "open"
+            and self.clock() - self.opened_at >= self.config.recovery_timeout_s
+        ):
+            self.state = "half_open"
+            self.half_open_inflight = 0
+
+    def allows(self) -> bool:
+        if not self.config.enabled:
+            return True
+        self._maybe_half_open()
+        if self.state == "closed":
+            return True
+        if self.state == "half_open":
+            return self.half_open_inflight < self.config.half_open_requests
+        return False
+
+    def record_success(self) -> None:
+        self.consecutive_failures = 0
+        self.state = "closed"
+        self.opened_at = None
+
+    def record_failure(self) -> None:
+        if not self.config.enabled:
+            return
+        self.consecutive_failures += 1
+        if (
+            self.state == "half_open"
+            or self.consecutive_failures >= self.config.failure_threshold
+        ):
+            self.state = "open"
+            self.opened_at = self.clock()
+
+
+def call_with_qos(
+    fn,
+    *,
+    retry: RetryPolicy | None = None,
+    breaker: CircuitBreaker | None = None,
+    wait_when_open: bool = True,
+    sleep=time.sleep,
+):
+    """Run ``fn()`` under the QoS envelope.
+
+    Per attempt: consult the breaker (open → block until half-open, or
+    raise ``CircuitOpen`` with ``wait_when_open=False``), run, record
+    the outcome, retry retryable failures up to ``max_retries`` with
+    exponential backoff. The final failure re-raises the original
+    exception."""
+    retry = retry or RetryPolicy(max_retries=0)
+    attempt = 0
+    while True:
+        if breaker is not None:
+            while not breaker.allows():
+                if not wait_when_open:
+                    raise CircuitOpen(
+                        f"circuit open since {breaker.opened_at}; "
+                        f"{breaker.consecutive_failures} consecutive failures"
+                    )
+                sleep(min(1.0, breaker.config.recovery_timeout_s / 10 or 0.1))
+            if breaker.state == "half_open":
+                breaker.half_open_inflight += 1
+        try:
+            out = fn()
+        except BaseException as exc:  # noqa: BLE001 — recorded, then policy decides
+            if breaker is not None:
+                breaker.record_failure()
+            if attempt < retry.max_retries and retry.is_retryable(exc):
+                sleep(retry.delay(attempt))
+                attempt += 1
+                continue
+            raise
+        else:
+            if breaker is not None:
+                breaker.record_success()
+            return out
+
+
+@dataclass
+class QoS:
+    """Bundle passed to replay_feed / run_stream. ``from_dict`` accepts
+    the reference's JSON vocabulary (``QualityOfService`` —
+    ``pkg/models/types.go:127-134``) with durations in seconds."""
+
+    retry: RetryPolicy | None = None
+    breaker: CircuitBreaker | None = None
+    wait_when_open: bool = True
+
+    @staticmethod
+    def from_dict(d: dict | None) -> "QoS | None":
+        if not d:
+            return None
+        rp = d.get("retry_policy") or {}
+        cb = d.get("circuit_breaker") or {}
+        retry = (
+            RetryPolicy(
+                max_retries=int(rp.get("max_retries", 3)),
+                initial_delay_s=float(rp.get("initial_delay", 0.5)),
+                max_delay_s=float(rp.get("max_delay", 30.0)),
+                backoff_factor=float(rp.get("backoff_factor", 2.0)),
+                retryable_errors=tuple(rp.get("retryable_errors", ())),
+            )
+            if rp
+            else None
+        )
+        breaker = (
+            CircuitBreaker(
+                CircuitBreakerConfig(
+                    enabled=bool(cb.get("enabled", True)),
+                    failure_threshold=int(cb.get("failure_threshold", 5)),
+                    recovery_timeout_s=float(cb.get("recovery_timeout", 60.0)),
+                    half_open_requests=int(cb.get("half_open_requests", 1)),
+                )
+            )
+            if cb
+            else None
+        )
+        return QoS(retry=retry, breaker=breaker)
+
+    def run(self, fn):
+        return call_with_qos(
+            fn,
+            retry=self.retry,
+            breaker=self.breaker,
+            wait_when_open=self.wait_when_open,
+        )

@@ -13,9 +13,12 @@ table's committed-batch ledger makes re-delivered batches no-ops —
 end-to-end exactly-once.
 
 Rate limiting (the reference's declared ``RateLimitConfig``,
-``pkg/models/types.go:119-127``) maps to ``maxFilesPerTrigger``; the
-reference's drop-on-full-channel data loss (``mysql_stream.go:424-438``)
-has no analogue — the source is pull-based.
+``pkg/models/types.go:137-141``) maps to ``maxFilesPerTrigger``; the
+declared-only retry/circuit-breaker QoS block is implemented for real
+in ``qos.py`` and wraps each micro-batch apply (``qos=`` parameter);
+the reference's drop-on-full-channel data loss
+(``mysql_stream.go:424-438``) has no analogue — the source is
+pull-based.
 """
 
 from __future__ import annotations
@@ -52,6 +55,7 @@ def run_stream(
     tombstone_retention: int | None = None,
     transform_engine=None,
     ledger_keep: int | None = 1024,
+    qos=None,
 ):
     """Start the CDC streaming query; returns the StreamingQuery.
 
@@ -73,19 +77,28 @@ def run_stream(
     tracker = SchemaTracker() if payload_schema is None else None
 
     def _apply(batch_df, batch_id: int):
-        apply_batch(
-            table,
-            batch_df,
-            batch_key=f"{stream_name}-{batch_id}",
-            payload_schema=payload_schema,
-            mode=mode,
-            files_per_bucket=files_per_bucket,
-            schema_tracker=tracker,
-            partial_updates=partial_updates,
-            tombstone_retention=tombstone_retention,
-            transform_engine=transform_engine,
-            ledger_keep=ledger_keep,
-        )
+        def _one():
+            return apply_batch(
+                table,
+                batch_df,
+                batch_key=f"{stream_name}-{batch_id}",
+                payload_schema=payload_schema,
+                mode=mode,
+                files_per_bucket=files_per_bucket,
+                schema_tracker=tracker,
+                partial_updates=partial_updates,
+                tombstone_retention=tombstone_retention,
+                transform_engine=transform_engine,
+                ledger_keep=ledger_keep,
+            )
+
+        # QoS envelope (qos.QoS): retry/backoff + circuit breaker; an
+        # open breaker BLOCKS here, which in Structured Streaming is
+        # backpressure — no further micro-batches start until recovery
+        if qos is not None:
+            qos.run(_one)
+        else:
+            _one()
 
     writer = (
         reader.writeStream.foreachBatch(_apply)

@@ -400,3 +400,48 @@ def test_config_backup_rejects_invalid(tmp_path, capsys):
                                 "streaming": False}))
     assert main(["config-backup", "--config", str(src),
                  "--table-root", str(tmp_path / "t")]) == 1
+
+
+def test_metrics_torn_tail_is_repaired_on_next_append(tmp_path):
+    """A crash mid-append must cost at most ONE row: the next append
+    starts a fresh line instead of concatenating onto the fragment."""
+    import os
+
+    from replicator_spark import metrics as M
+
+    root = str(tmp_path / "t")
+    M.append_metrics(root, {"batch_key": "s-0", "received": 1})
+    path = os.path.join(root, "_metrics", "log.jsonl")
+    with open(path, "a") as f:
+        f.write('{"batch_key": "s-torn", "rec')  # no newline
+    M.append_metrics(root, {"batch_key": "s-1", "received": 2})
+    rows = list(M._iter_rows(os.path.join(root, "_metrics")))
+    keys = [r["batch_key"] for r in rows]
+    assert keys == ["s-0", "s-1"]  # torn row lost, next row intact
+
+
+def test_metrics_legacy_parquet_history_still_counted(spark, tmp_path):
+    """Pre-upgrade tables wrote one parquet part per batch — their
+    counters must survive the JSONL switch."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from replicator_spark import metrics as M
+
+    root = str(tmp_path / "t")
+    d = os.path.join(root, "_metrics")
+    os.makedirs(d)
+    legacy = pa.Table.from_pylist(
+        [{"batch_key": "old-0", "received": 100, "applied": 90,
+          "skipped_stale": 10, "deduped": 0, "deleted": 0, "ts_ms": 1}]
+    )
+    pq.write_table(legacy, os.path.join(d, "part-1-old-0.parquet"))
+    M.append_metrics(root, {"batch_key": "new-0", "received": 50,
+                            "applied": 50, "skipped_stale": 0,
+                            "deduped": 0, "deleted": 0})
+    text = M.to_prometheus_text(root)
+    assert "replicator_received_records_total 150" in text
+    assert "replicator_batches_total 2" in text
+    assert M.read_metrics(spark, root).count() == 2

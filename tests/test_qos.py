@@ -1,0 +1,191 @@
+"""QoS envelope: retry-with-backoff + circuit breaker (the reference's
+declared-only ``QualityOfService`` block, ``pkg/models/types.go:110-134``,
+made real around the micro-batch apply)."""
+
+import pytest
+
+from replicator_spark.qos import (
+    CircuitBreaker,
+    CircuitBreakerConfig,
+    CircuitOpen,
+    QoS,
+    RetryPolicy,
+    call_with_qos,
+)
+
+
+class FakeClock:
+    def __init__(self):
+        self.t = 0.0
+
+    def __call__(self):
+        return self.t
+
+
+def test_retry_backoff_then_success():
+    calls = {"n": 0}
+    delays = []
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise RuntimeError("transient")
+        return "ok"
+
+    out = call_with_qos(
+        flaky,
+        retry=RetryPolicy(max_retries=5, initial_delay_s=1.0, backoff_factor=2.0),
+        sleep=delays.append,
+    )
+    assert out == "ok" and calls["n"] == 3
+    assert delays == [1.0, 2.0]  # exponential
+
+
+def test_retry_respects_retryable_errors_and_max():
+    rp = RetryPolicy(max_retries=2, retryable_errors=("Timeout",))
+
+    def always_fatal():
+        raise ValueError("schema mismatch")
+
+    with pytest.raises(ValueError):
+        call_with_qos(always_fatal, retry=rp, sleep=lambda s: None)
+
+    calls = {"n": 0}
+
+    def always_timeout():
+        calls["n"] += 1
+        raise RuntimeError("Timeout connecting")
+
+    with pytest.raises(RuntimeError):
+        call_with_qos(always_timeout, retry=rp, sleep=lambda s: None)
+    assert calls["n"] == 3  # initial + 2 retries
+
+
+def test_breaker_opens_then_half_opens_then_closes():
+    clock = FakeClock()
+    br = CircuitBreaker(
+        CircuitBreakerConfig(failure_threshold=3, recovery_timeout_s=60), clock=clock
+    )
+    for _ in range(3):
+        assert br.allows()
+        br.record_failure()
+    assert br.state == "open" and not br.allows()
+    clock.t = 61
+    assert br.allows() and br.state == "half_open"
+    br.record_success()
+    assert br.state == "closed" and br.allows()
+
+
+def test_breaker_half_open_failure_reopens():
+    clock = FakeClock()
+    br = CircuitBreaker(
+        CircuitBreakerConfig(failure_threshold=1, recovery_timeout_s=10), clock=clock
+    )
+    br.record_failure()
+    assert br.state == "open"
+    clock.t = 11
+    assert br.allows()
+    br.record_failure()  # probe failed
+    assert br.state == "open" and not br.allows()
+    # and the recovery clock restarted
+    clock.t = 20
+    assert not br.allows()
+    clock.t = 22
+    assert br.allows()
+
+
+def test_breaker_half_open_limits_probes():
+    clock = FakeClock()
+    br = CircuitBreaker(
+        CircuitBreakerConfig(
+            failure_threshold=1, recovery_timeout_s=1, half_open_requests=1
+        ),
+        clock=clock,
+    )
+    br.record_failure()
+    clock.t = 2
+    assert br.allows()
+    br.half_open_inflight += 1  # what call_with_qos does on admit
+    assert not br.allows()  # second concurrent probe rejected
+
+
+def test_call_with_qos_raises_circuit_open_when_not_waiting():
+    br = CircuitBreaker(CircuitBreakerConfig(failure_threshold=1))
+    with pytest.raises(ZeroDivisionError):
+        call_with_qos(lambda: 1 / 0, breaker=br, sleep=lambda s: None)
+    with pytest.raises(CircuitOpen):
+        call_with_qos(lambda: "ok", breaker=br, wait_when_open=False)
+
+
+def test_call_with_qos_waits_for_recovery_and_succeeds():
+    clock = FakeClock()
+    br = CircuitBreaker(
+        CircuitBreakerConfig(failure_threshold=1, recovery_timeout_s=5), clock=clock
+    )
+    br.record_failure()
+
+    def advance(s):
+        clock.t += s
+
+    out = call_with_qos(lambda: "recovered", breaker=br, sleep=advance)
+    assert out == "recovered" and br.state == "closed"
+
+
+def test_qos_from_dict_reference_vocabulary():
+    q = QoS.from_dict(
+        {
+            "retry_policy": {"max_retries": 7, "initial_delay": 0.1,
+                             "backoff_factor": 3.0,
+                             "retryable_errors": ["Timeout"]},
+            "circuit_breaker": {"failure_threshold": 2,
+                                "recovery_timeout": 9.0,
+                                "half_open_requests": 2},
+        }
+    )
+    assert q.retry.max_retries == 7 and q.retry.backoff_factor == 3.0
+    assert q.breaker.config.failure_threshold == 2
+    assert q.breaker.config.recovery_timeout_s == 9.0
+    assert QoS.from_dict(None) is None
+    assert QoS.from_dict({}) is None
+
+
+def test_replay_feed_retry_is_exactly_once(spark, tmp_path):
+    """A batch that fails mid-apply and is retried lands exactly once:
+    abort-before-commit + ledger idempotence under the QoS envelope."""
+    from replicator_spark.laketable import LakeTable
+    from replicator_spark.model import REPOS_SCHEMA
+    from replicator_spark.pipeline import replay_feed
+
+    from .test_incremental_read import _ordered_feed
+
+    feed = _ordered_feed(spark, tmp_path, n=800)
+    t = LakeTable(spark, str(tmp_path / "t"))
+    t.create(REPOS_SCHEMA, num_buckets=4)
+
+    # sabotage the first attempt of batch 1: monkeypatch merge to fail
+    # once before anything is committed (the abort-uncommitted case)
+    orig_merge = LakeTable.merge
+    fails = {"left": 1}
+
+    def failing_pre(self, batch, batch_key, **kw):
+        if batch_key.endswith("-1") and fails["left"]:
+            fails["left"] = 0
+            raise RuntimeError("transient sink outage")
+        return orig_merge(self, batch, batch_key, **kw)
+
+    LakeTable.merge = failing_pre
+    try:
+        res = replay_feed(
+            spark, feed, t, mode="mor", write_metrics=False,
+            qos=QoS(retry=RetryPolicy(max_retries=2, initial_delay_s=0.0)),
+        )
+    finally:
+        LakeTable.merge = orig_merge
+    assert len(res) == 4 and not any(r.merge.replayed for r in res)
+    # exactly-once: final state identical to a clean replay
+    t2 = LakeTable(spark, str(tmp_path / "t2"))
+    t2.create(REPOS_SCHEMA, num_buckets=4)
+    replay_feed(spark, feed, t2, mode="mor", write_metrics=False)
+    a = t.read().orderBy("repo", "path", "commit")
+    b = t2.read().orderBy("repo", "path", "commit")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0

@@ -142,3 +142,54 @@ def test_time_travel_across_type_widening(spark, tmp_path):
     assert dict((f.name, f.dataType) for f in new.schema.fields)[
         "stars"
     ] == T.StringType()
+
+
+def test_long_to_double_widens_numeric(spark, tmp_path):
+    """Numerically-compatible conflicts (int field starts carrying
+    floats) widen long→double, NOT string — downstream aggregations
+    and range predicates stay numeric."""
+    table = LakeTable(spark, str(tmp_path / "t"))
+    table.create(STARS_SCHEMA, num_buckets=4)
+    tr = SchemaTracker()
+    apply_batch(table, _batch(spark, range(200), _doc_int), "s-0",
+                schema_tracker=tr, mode="mor", write_metrics=False)
+
+    def doc1(s):
+        return (f'{{"lang":"py","content":"c{s}","stars":{s % 7}.5}}'
+                if s >= 350 else _doc_int(s))
+
+    r1 = apply_batch(table, _batch(spark, range(200, 400), doc1), "s-1",
+                     schema_tracker=tr, mode="mor", write_metrics=False)
+    assert r1.schema_retries == 1
+    assert dict((f.name, f.dataType) for f in table.schema().fields)[
+        "stars"
+    ] == T.DoubleType()
+    live = table.read()
+    assert live.where("stars IS NULL").count() == 0
+    # numeric semantics survive: aggregation works, halves present
+    assert live.where("stars = 3.5").count() > 0
+    assert live.agg(F.sum("stars")).first()[0] > 0
+
+    # a LATER incompatible value escalates double → string
+    def doc2(s):
+        return f'{{"lang":"py","content":"c{s}","stars":"wow"}}'
+
+    r2 = apply_batch(table, _batch(spark, range(400, 420), doc2), "s-2",
+                     schema_tracker=tr, mode="mor", write_metrics=False)
+    assert r2.schema_retries == 1
+    assert dict((f.name, f.dataType) for f in table.schema().fields)[
+        "stars"
+    ] == T.StringType()
+    live = table.read()
+    assert live.where("stars IS NULL").count() == 0
+    # three physical generations (long, double, string files) all read
+    assert live.where("stars = 'wow'").count() == 20
+    assert live.where("stars = '3.5'").count() > 0
+
+
+def test_infer_prefers_numeric_supertype(spark):
+    df = spark.createDataFrame(
+        [('{"x": 1}',), ('{"x": 2.5}',)], ["doc"]
+    ).coalesce(1)
+    sch = {f.name: f.dataType for f in infer_payload_schema(df).fields}
+    assert sch["x"] == T.DoubleType()
