@@ -1290,6 +1290,86 @@ WHERE d.doc_id = c.cluster
 """
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (GPT-3 appendix C / Llama eval-dedup):
+    training docs flagged by 13-word-gram collision with a benchmark
+    corpus (here: docs with doc_id % 17 == 3 play the eval set). Spark
+    side joins on xxhash64'd grams (8-byte shuffle rows, benchmark side
+    broadcast); oracle joins the gram strings — counts agree unless
+    xxhash64 collides (~2^-40 at this corpus)."""
+    from replicator_spark.ops.text import benchmark_ngram_collisions
+
+    docs = _load(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 17 == 3)
+    train = docs.where(F.col("doc_id") % 17 != 3)
+    return benchmark_ngram_collisions(train, bench, n=13)
+
+
+SQL_decontaminate = """
+WITH tok AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(t[i:i+12], ' ')
+                        for i in range(1, greatest(len(t) - 11, 1))]) AS gs
+  FROM tok
+),
+bg AS (
+  SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id % 17 = 3
+),
+dg AS (
+  SELECT doc_id, unnest(gs) AS g FROM grams WHERE doc_id % 17 <> 3
+),
+hits AS (
+  SELECT dg.doc_id, COUNT(*) AS n_collisions
+  FROM dg JOIN bg USING (g) GROUP BY 1
+)
+SELECT d.doc_id,
+       COALESCE(h.n_collisions, 0) AS n_collisions,
+       COALESCE(h.n_collisions, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+WHERE d.doc_id % 17 <> 3
+"""
+
+
+def q_repetition_filter(spark, sf_dir):
+    """Within-document repetition metrics + keep flag (the Gopher
+    quality-filter family, Rae et al. 2021 A1: duplicate-line fraction
+    and duplicate-line character fraction)."""
+    from replicator_spark.ops.text import repetition_stats
+
+    return repetition_stats(_load(spark, sf_dir, "documents"))
+
+
+SQL_repetition_filter = """
+WITH lines AS (
+  SELECT doc_id, l AS line
+  FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS l FROM documents)
+  WHERE length(trim(l)) > 0
+),
+per_line AS (
+  SELECT doc_id, line, COUNT(*) AS n, length(line) AS len
+  FROM lines GROUP BY 1, 2
+),
+per_doc AS (
+  SELECT doc_id,
+         CAST(SUM(n) AS BIGINT) AS total_lines,
+         CAST(SUM(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT) AS dup_lines,
+         CAST(SUM(n * len) AS BIGINT) AS total_chars,
+         CAST(SUM(CASE WHEN n > 1 THEN n * len ELSE 0 END) AS BIGINT) AS dup_chars
+  FROM per_line GROUP BY 1
+)
+SELECT doc_id, total_lines,
+       round(CAST(dup_lines AS DOUBLE) / total_lines, 4) AS dup_line_frac,
+       round(CAST(dup_chars AS DOUBLE) / total_chars, 4) AS dup_char_frac,
+       (round(CAST(dup_lines AS DOUBLE) / total_lines, 4) <= 0.30
+        AND round(CAST(dup_chars AS DOUBLE) / total_chars, 4) <= 0.20) AS keep
+FROM per_doc
+"""
+
+
 def q_knn_bruteforce(spark, sf_dir):
     """Brute-force cosine top-3 neighbors for query vectors 0-4
     (similarity-search baseline; JVM-side F.zip_with/F.aggregate)."""
@@ -1797,6 +1877,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redaction": q_pii_redaction,
         "dedup_clusters": q_dedup_clusters,
         "dedup_pipeline_end2end": q_dedup_pipeline_end2end,
+        "decontaminate": q_decontaminate,
+        "repetition_filter": q_repetition_filter,
         # rows-only (no ANSI-SQL equivalent):
         "minhash_lsh": q_minhash_lsh,
         "simhash_dedup": q_simhash_dedup,
@@ -1854,4 +1936,6 @@ def oracle_sql() -> dict[str, str]:
         "pii_redaction": SQL_pii_redaction,
         "dedup_clusters": SQL_dedup_clusters,
         "dedup_pipeline_end2end": SQL_dedup_pipeline_end2end,
+        "decontaminate": SQL_decontaminate,
+        "repetition_filter": SQL_repetition_filter,
     }

@@ -214,3 +214,103 @@ def doc_fingerprints(
         F.array_min(gram_hashes).alias("min_gram_hash"),
         F.array_max(gram_hashes).alias("max_gram_hash"),
     )
+
+
+def benchmark_ngram_collisions(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    *,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: per training document, how many of
+    its distinct word ``n``-grams also occur in the evaluation/benchmark
+    corpus (the GPT-3 appendix-C / Llama dedup-against-eval rule;
+    ``contaminated`` = any collision).
+
+    Scale shape: both sides explode to distinct xxhash64'd n-grams
+    (whitespace-tokenized, lowercased) — one shuffle each — and meet in
+    an equi-join on the 64-bit gram hash. Benchmark gram sets are small
+    (eval suites are MBs), so Spark broadcasts that side; the training
+    side streams through. Hashing keeps the shuffle rows at 8 bytes a
+    gram instead of ~100.
+    """
+
+    def grams(df: DataFrame, keep_id: bool) -> DataFrame:
+        toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        k = F.size(toks) - F.lit(n - 1)
+        hashes = F.when(
+            k >= 1,
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+                lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, n))),
+            ),
+        ).otherwise(F.array().cast("array<bigint>"))
+        out = df.select(
+            *( [F.col(id_col)] if keep_id else [] ),
+            F.explode(F.array_distinct(hashes)).alias("gram_h"),
+        )
+        return out
+
+    bench_grams = grams(benchmark, keep_id=False).distinct()
+    doc_grams = grams(docs, keep_id=True)
+    hits = (
+        doc_grams.join(F.broadcast(bench_grams), "gram_h")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_collisions"))
+    )
+    return (
+        docs.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_collisions"), F.lit(0)).alias("n_collisions"),
+            (F.coalesce(F.col("n_collisions"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    max_dup_line_frac: float = 0.30,
+    max_dup_char_frac: float = 0.20,
+) -> DataFrame:
+    """Within-document repetition metrics (the Gopher quality-filter
+    family, Rae et al. 2021 table A1): fraction of lines that are
+    duplicates of another line in the SAME document, and the fraction
+    of characters in those duplicate lines; ``keep`` applies the
+    standard thresholds. Boilerplate-heavy and looping generations
+    fail exactly these.
+
+    Two hash aggregations (doc_id,line) → doc_id — scale-safe; line
+    text never leaves the executor un-aggregated."""
+    line = F.explode(F.split(F.col(text_col), "\n")).alias("line")
+    lines = (
+        df.select(F.col(id_col), line)
+        .where(F.length(F.trim(F.col("line"))) > 0)
+    )
+    per_line = lines.groupBy(id_col, "line").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.length(F.first("line")).alias("len"),
+    )
+    per_doc = per_line.groupBy(id_col).agg(
+        F.sum("n").alias("total_lines"),
+        F.sum(F.when(F.col("n") > 1, F.col("n")).otherwise(0)).alias("dup_lines"),
+        F.sum(F.col("n") * F.col("len")).alias("total_chars"),
+        F.sum(F.when(F.col("n") > 1, F.col("n") * F.col("len")).otherwise(0)).alias(
+            "dup_chars"
+        ),
+    )
+    dlf = F.round(F.col("dup_lines") / F.col("total_lines"), 4)
+    dcf = F.round(F.col("dup_chars") / F.col("total_chars"), 4)
+    return per_doc.select(
+        id_col,
+        F.col("total_lines"),
+        dlf.alias("dup_line_frac"),
+        dcf.alias("dup_char_frac"),
+        ((dlf <= max_dup_line_frac) & (dcf <= max_dup_char_frac)).alias("keep"),
+    )

@@ -135,3 +135,44 @@ def test_redact_pii_patterns(spark):
     out = redact_pii(df).first()["redacted"]
     assert "<EMAIL>" in out and "<URL>" in out and "<NUM>" in out
     assert "@" not in out and "https" not in out and "0199" not in out
+
+
+def test_benchmark_decontamination(spark):
+    from replicator_spark.ops.text import benchmark_ngram_collisions
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog near the old barn"),
+            (1, "entirely different words about vectorized query execution plans"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(9, "we note the quick brown fox jumps over the lazy dog near here")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           benchmark_ngram_collisions(docs, bench, n=8).collect()}
+    assert out[0]["contaminated"] and out[0]["n_collisions"] >= 1
+    assert not out[1]["contaminated"] and out[1]["n_collisions"] == 0
+    # docs shorter than n grams are clean, not errors
+    short = spark.createDataFrame([(5, "too short")], "doc_id long, text string")
+    r = benchmark_ngram_collisions(short, bench, n=8).first()
+    assert r["n_collisions"] == 0
+
+
+def test_repetition_stats_gopher_thresholds(spark):
+    from replicator_spark.ops.text import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha\nbeta\ngamma\ndelta"),
+            (1, "spam\nspam\nspam\nspam\nham"),
+            (2, "x\n\n  \nx\ny"),  # blank lines don't count
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    assert out[0]["keep"] and out[0]["dup_line_frac"] == 0.0
+    assert not out[1]["keep"] and out[1]["dup_line_frac"] == 0.8
+    assert out[2]["total_lines"] == 3 and out[2]["dup_line_frac"] == round(2 / 3, 4)
