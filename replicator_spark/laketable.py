@@ -425,7 +425,7 @@ class LakeTable:
             mx = stats.get(p)
             return mx is None or mx > floor
 
-        bucket_ids = list(snap.files.keys() | deltas.keys())
+        bucket_ids = sorted(snap.files.keys() | deltas.keys(), key=str)
         base = [f for b in bucket_ids for f in snap.files.get(b, []) if _keep(f)]
         delta = [f for b in bucket_ids for f in deltas.get(b, []) if _keep(f)]
         return base, delta
@@ -527,10 +527,17 @@ class LakeTable:
         # read path resolves via per-file schema ids, and compaction
         # migrates files forward incrementally — no O(table) rewrite.
         ltypes = {f.name: f.dataType for f in logical.fields}
-        type_changed = {
+        # every batch/table type mismatch needs a batch-side cast;
+        # only those whose widened type differs from the TABLE's type
+        # are schema evolution (a long batch into an already-double
+        # column casts, evolves nothing)
+        cast_needed = {
             c: _widen_type(ltypes[c], bschema[c].dataType)
             for c in batch_payload
             if c in payload_in_table and bschema[c].dataType != ltypes[c]
+        }
+        type_changed = {
+            c: t for c, t in cast_needed.items() if t != ltypes[c]
         }
         evolved_schema = T.StructType(
             [
@@ -545,8 +552,8 @@ class LakeTable:
 
         nb = snap.num_buckets
         src = batch.withColumn(BUCKET_COL, bucket_expr(nb, key_cols[0]))
-        # batch side of a type widening casts to the widened type
-        for c, wt in type_changed.items():
+        # batch side of a type mismatch casts to the widened type
+        for c, wt in cast_needed.items():
             src = src.withColumn(c, F.col(c).cast(wt))
         # columns the table has that this batch lacks (full-image
         # replace semantics: absent → null, see module docstring)

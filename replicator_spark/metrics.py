@@ -118,23 +118,29 @@ def _iter_rows(dirpath: str):
 
 
 def _read(spark, dirpath: str, schema: T.StructType):
-    # DROPMALFORMED: a crash mid-append can leave one torn tail line
-    df = (
-        spark.read.schema(schema)
-        .option("mode", "DROPMALFORMED")
-        .json(os.path.join(dirpath, "*.jsonl"))
-    )
-    legacy = (
-        [n for n in os.listdir(dirpath) if n.endswith(".parquet")]
-        if os.path.isdir(dirpath)
-        else []
-    )
-    if legacy:  # pre-upgrade parquet parts
-        old = spark.read.schema(schema).parquet(
-            *[os.path.join(dirpath, n) for n in legacy]
+    names = sorted(os.listdir(dirpath)) if os.path.isdir(dirpath) else []
+    jsonl = [n for n in names if n.endswith(".jsonl")]
+    legacy = [n for n in names if n.endswith(".parquet")]
+    parts = []
+    if jsonl:
+        # DROPMALFORMED: a crash mid-append can leave one torn tail line
+        parts.append(
+            spark.read.schema(schema)
+            .option("mode", "DROPMALFORMED")
+            .json(os.path.join(dirpath, "*.jsonl"))
         )
-        df = old.unionByName(df)
-    return df
+    if legacy:  # pre-upgrade parquet parts
+        parts.append(
+            spark.read.schema(schema).parquet(
+                *[os.path.join(dirpath, n) for n in legacy]
+            )
+        )
+    if not parts:  # empty or legacy-only-just-created dir
+        return spark.createDataFrame([], schema)
+    out = parts[0]
+    for p_ in parts[1:]:
+        out = out.unionByName(p_)
+    return out
 
 
 def read_metrics(spark, table_root: str):

@@ -222,8 +222,24 @@ def _conflicted_fields(
     checked = [f.name for f in shadow_schema.fields]
     if not checked:
         return {}
+    types = {f.name: f.dataType for f in schema.fields}
+    # third parse: long fields re-typed as double — widening to double
+    # is sound iff from_json ITSELF accepts every conflicting value as
+    # a double (a quoted "3.5" casts fine but from_json still nulls it,
+    # so a try_cast heuristic would pick a type that needs yet another
+    # retry; asking from_json directly is exact)
+    dbl_schema = T.StructType(
+        [
+            T.StructField(f.name, T.DoubleType(), True)
+            for f in schema.fields
+            if f.dataType == T.LongType()
+        ]
+    )
     typed = F.from_json(F.col(doc_col), schema).alias("_t")
     shadow = F.from_json(F.col(doc_col), shadow_schema).alias("_s")
+    sel = [typed, shadow]
+    if dbl_schema.fields:
+        sel.append(F.from_json(F.col(doc_col), dbl_schema).alias("_d"))
 
     def _conflict(n):
         return (
@@ -234,21 +250,19 @@ def _conflicted_fields(
     aggs = []
     for n in checked:
         aggs.append(F.max(F.when(_conflict(n), 1).otherwise(0)).alias(f"c_{n}"))
-        aggs.append(
-            F.max(
-                F.when(
-                    _conflict(n)
-                    & F.col("_s").getField(n).try_cast("double").isNull(),
-                    1,
-                ).otherwise(0)
-            ).alias(f"nn_{n}")  # conflicting AND non-numeric
-        )
-    row = df.select(typed, shadow).agg(*aggs).first()
-    types = {f.name: f.dataType for f in schema.fields}
+        if types[n] == T.LongType():
+            aggs.append(
+                F.max(
+                    F.when(
+                        _conflict(n) & F.col("_d").getField(n).isNull(), 1
+                    ).otherwise(0)
+                ).alias(f"nd_{n}")  # conflicting AND not double-parseable
+            )
+    row = df.select(*sel).agg(*aggs).first()
     out: dict[str, T.DataType] = {}
     for n in checked:
         if row[f"c_{n}"]:
-            if types[n] == T.LongType() and not row[f"nn_{n}"]:
+            if types[n] == T.LongType() and not row[f"nd_{n}"]:
                 out[n] = T.DoubleType()
             else:
                 out[n] = T.StringType()

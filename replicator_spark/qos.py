@@ -120,6 +120,7 @@ def call_with_qos(
     breaker: CircuitBreaker | None = None,
     wait_when_open: bool = True,
     sleep=time.sleep,
+    abort_check=None,
 ):
     """Run ``fn()`` under the QoS envelope.
 
@@ -127,13 +128,17 @@ def call_with_qos(
     raise ``CircuitOpen`` with ``wait_when_open=False``), run, record
     the outcome, retry retryable failures up to ``max_retries`` with
     exponential backoff. The final failure re-raises the original
-    exception."""
+    exception. Only ``Exception`` enters the retry/breaker machinery —
+    KeyboardInterrupt/SystemExit propagate immediately. ``abort_check``
+    (no-arg callable → bool) is polled during the open-circuit wait so
+    a lifecycle pause / query stop isn't blocked for the whole recovery
+    envelope; True aborts the wait with ``CircuitOpen``."""
     retry = retry or RetryPolicy(max_retries=0)
     attempt = 0
     while True:
         if breaker is not None:
             while not breaker.allows():
-                if not wait_when_open:
+                if not wait_when_open or (abort_check is not None and abort_check()):
                     raise CircuitOpen(
                         f"circuit open since {breaker.opened_at}; "
                         f"{breaker.consecutive_failures} consecutive failures"
@@ -143,7 +148,7 @@ def call_with_qos(
                 breaker.half_open_inflight += 1
         try:
             out = fn()
-        except BaseException as exc:  # noqa: BLE001 — recorded, then policy decides
+        except Exception as exc:  # recorded, then policy decides
             if breaker is not None:
                 breaker.record_failure()
             if attempt < retry.max_retries and retry.is_retryable(exc):
@@ -171,8 +176,10 @@ class QoS:
     def from_dict(d: dict | None) -> "QoS | None":
         if not d:
             return None
-        rp = d.get("retry_policy") or {}
-        cb = d.get("circuit_breaker") or {}
+        # an explicit empty {} means "defaults", not "disabled" — only
+        # an ABSENT key disables that half
+        rp = d.get("retry_policy")
+        cb = d.get("circuit_breaker")
         retry = (
             RetryPolicy(
                 max_retries=int(rp.get("max_retries", 3)),
@@ -181,7 +188,7 @@ class QoS:
                 backoff_factor=float(rp.get("backoff_factor", 2.0)),
                 retryable_errors=tuple(rp.get("retryable_errors", ())),
             )
-            if rp
+            if rp is not None
             else None
         )
         breaker = (
@@ -193,15 +200,16 @@ class QoS:
                     half_open_requests=int(cb.get("half_open_requests", 1)),
                 )
             )
-            if cb
+            if cb is not None
             else None
         )
         return QoS(retry=retry, breaker=breaker)
 
-    def run(self, fn):
+    def run(self, fn, abort_check=None):
         return call_with_qos(
             fn,
             retry=self.retry,
             breaker=self.breaker,
             wait_when_open=self.wait_when_open,
+            abort_check=abort_check,
         )

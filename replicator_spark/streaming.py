@@ -94,9 +94,16 @@ def run_stream(
 
         # QoS envelope (qos.QoS): retry/backoff + circuit breaker; an
         # open breaker BLOCKS here, which in Structured Streaming is
-        # backpressure — no further micro-batches start until recovery
+        # backpressure — no further micro-batches start until recovery.
+        # The pause marker aborts the open-circuit wait so lifecycle
+        # pause / config reload isn't stuck for the recovery envelope.
         if qos is not None:
-            qos.run(_one)
+            from . import lifecycle
+
+            qos.run(
+                _one,
+                abort_check=lambda: lifecycle.is_paused(table.root, stream_name),
+            )
         else:
             _one()
 

@@ -445,3 +445,26 @@ def test_metrics_legacy_parquet_history_still_counted(spark, tmp_path):
     assert "replicator_received_records_total 150" in text
     assert "replicator_batches_total 2" in text
     assert M.read_metrics(spark, root).count() == 2
+
+
+def test_metrics_legacy_only_dir_reads_clean(spark, tmp_path):
+    """A pre-upgrade table with ONLY parquet metrics (no .jsonl yet)
+    must read, not crash with PATH_NOT_FOUND."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from replicator_spark import metrics as M
+
+    root = str(tmp_path / "t")
+    d = os.path.join(root, "_metrics")
+    os.makedirs(d)
+    pq.write_table(
+        pa.Table.from_pylist([{"batch_key": "old-0", "received": 7}]),
+        os.path.join(d, "part-1.parquet"),
+    )
+    assert M.read_metrics(spark, root).count() == 1
+    assert "replicator_received_records_total 7" in M.to_prometheus_text(root)
+    # and a table with NO metrics dir at all reads empty
+    assert M.read_metrics(spark, str(tmp_path / "none")).count() == 0

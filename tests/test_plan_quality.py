@@ -71,7 +71,7 @@ def test_no_python_eval_in_cdc_queries(spark):
         "transform_engine_chain", "filter_regex_in",
         "decimal_generated_column", "source_cosmos_normalize",
         "boilerplate_lines", "dataset_split", "pii_redaction",
-        "dedup_clusters",
+        "dedup_clusters", "decontaminate", "repetition_filter",
     ]
     qs = entry.queries()
     for name in jvm_only:
@@ -149,3 +149,10 @@ def test_feed_scan_partition_pruned(spark, tmp_path):
     df = spark.read.parquet(f"{feed}/batch_id=1")
     files = [r[0] for r in df.select(F.input_file_name()).distinct().collect()]
     assert files and all("batch_id=1" in f for f in files)
+
+
+def test_decontaminate_benchmark_side_is_broadcast(spark):
+    """The eval-corpus gram set must broadcast — the training side
+    streams through the join without shuffling on gram hash."""
+    plan = _plan(entry.q_decontaminate(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan[:1500]

@@ -189,3 +189,45 @@ def test_replay_feed_retry_is_exactly_once(spark, tmp_path):
     a = t.read().orderBy("repo", "path", "commit")
     b = t2.read().orderBy("repo", "path", "commit")
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_from_dict_empty_retry_policy_means_defaults():
+    q = QoS.from_dict({"retry_policy": {}})
+    assert q.retry is not None and q.retry.max_retries == 3
+    assert q.breaker is None  # absent key disables that half
+    q2 = QoS.from_dict({"circuit_breaker": {}})
+    assert q2.breaker is not None and q2.retry is None
+
+
+def test_keyboard_interrupt_is_not_retried():
+    calls = {"n": 0}
+
+    def interrupted():
+        calls["n"] += 1
+        raise KeyboardInterrupt
+
+    br = CircuitBreaker(CircuitBreakerConfig(failure_threshold=1))
+    with pytest.raises(KeyboardInterrupt):
+        call_with_qos(interrupted, retry=RetryPolicy(max_retries=5),
+                      breaker=br, sleep=lambda s: None)
+    assert calls["n"] == 1  # no retry
+    assert br.state == "closed"  # and not counted as a sink failure
+
+
+def test_abort_check_breaks_open_wait():
+    clock = FakeClock()
+    br = CircuitBreaker(
+        CircuitBreakerConfig(failure_threshold=1, recovery_timeout_s=600),
+        clock=clock,
+    )
+    br.record_failure()
+    polls = {"n": 0}
+
+    def paused():
+        polls["n"] += 1
+        return polls["n"] >= 3  # pause marker appears on the 3rd poll
+
+    with pytest.raises(CircuitOpen):
+        call_with_qos(lambda: "ok", breaker=br, abort_check=paused,
+                      sleep=lambda s: None)
+    assert polls["n"] == 3

@@ -193,3 +193,57 @@ def test_infer_prefers_numeric_supertype(spark):
     ).coalesce(1)
     sch = {f.name: f.dataType for f in infer_payload_schema(df).fields}
     assert sch["x"] == T.DoubleType()
+
+
+def test_quoted_numeric_string_goes_straight_to_string(spark, tmp_path):
+    """A QUOTED "3.5" casts to double but from_json(DoubleType) still
+    nulls it — the widener must ask from_json itself and pick string in
+    ONE retry, not burn a retry on a double that also nulls."""
+    table = LakeTable(spark, str(tmp_path / "t"))
+    table.create(STARS_SCHEMA, num_buckets=4)
+    tr = SchemaTracker()
+    apply_batch(table, _batch(spark, range(100), _doc_int), "s-0",
+                schema_tracker=tr, mode="mor", write_metrics=False)
+
+    def doc1(s):
+        return f'{{"lang":"py","content":"c{s}","stars":"{s % 7}.5"}}'
+
+    r1 = apply_batch(table, _batch(spark, range(100, 150), doc1), "s-1",
+                     schema_tracker=tr, mode="mor", write_metrics=False)
+    assert r1.schema_retries == 1, "must converge in ONE widening retry"
+    assert dict((f.name, f.dataType) for f in table.schema().fields)[
+        "stars"
+    ] == T.StringType()
+    live = table.read()
+    assert live.where("stars IS NULL").count() == 0
+    assert live.where("stars = '3.5'").count() > 0
+
+
+def test_long_batch_into_double_column_is_not_phantom_evolution(spark, tmp_path):
+    """A long-typed batch merging into an already-double column casts
+    but must NOT report schema_evolved or bump the schema id."""
+    from pyspark.sql import Row
+
+    wide = T.StructType(
+        list(REPOS_SCHEMA.fields) + [T.StructField("stars", T.DoubleType(), True)]
+    )
+    table = LakeTable(spark, str(tmp_path / "t"))
+    table.create(wide, num_buckets=4)
+
+    def batch(i, stars_long):
+        return spark.createDataFrame(
+            [Row(repo="r", path=f"p{i}", commit="c", lang="py",
+                 content="x", stars=stars_long, seq=i, op="insert",
+                 event_id=f"e{i}")]
+        )
+
+    st = table.merge(batch(1, 5), "s-1", mode="mor")
+    assert st.schema_evolved == 0
+    sid_before = table._snap().props["schema_id"]
+    st2 = table.merge(batch(2, 7), "s-2", mode="mor")
+    assert st2.schema_evolved == 0
+    assert table._snap().props["schema_id"] == sid_before
+    assert dict((f.name, f.dataType) for f in table.schema().fields)[
+        "stars"
+    ] == T.DoubleType()
+    assert table.read().where("stars = 5.0").count() == 1
