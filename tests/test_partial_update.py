@@ -162,3 +162,57 @@ def test_apply_batch_partial_end_to_end(spark, tmp_path):
     assert rows[("r1", "p1")]["lang"] == "rs"
     assert rows[("r1", "p2")]["content"] == "w5"
     assert rows[("r1", "p2")]["lang"] == "go"
+
+
+def test_partial_update_with_type_widened_column(spark, tmp_path):
+    """Type widening composing with $set partials: after stars widens
+    long→string, a partial batch (string-typed stars in the batch,
+    long-typed stars in the pre-widening base files) must upgrade
+    against the grouped-scan read and coalesce per column — no nulled
+    untouched columns, no cast error."""
+    stars_schema = T.StructType(
+        list(REPOS_SCHEMA.fields) + [T.StructField("stars", T.LongType(), True)]
+    )
+    wide = T.StructType(
+        list(FLAT_SCHEMA.fields[:5])
+        + [T.StructField("stars", T.StringType(), True)]
+        + list(FLAT_SCHEMA.fields[5:])
+    )
+
+    def row(seq, op, partial, *, content=None, lang=None, stars=None, path="p1"):
+        return Row(
+            repo="r1", path=path, commit="c1", lang=lang, content=content,
+            stars=stars, seq=seq, op=op, event_id=f"e{seq}", _partial=partial,
+        )
+
+    t = LakeTable(spark, str(tmp_path / "t"))
+    t.create(stars_schema, num_buckets=2)
+    # batch 0: full images, long-typed stars
+    b0 = spark.createDataFrame(
+        [
+            Row(repo="r1", path="p1", commit="c1", lang="py", content="v1",
+                stars=7, seq=1, op="insert", event_id="e1"),
+            Row(repo="r1", path="p2", commit="c1", lang="go", content="w1",
+                stars=3, seq=2, op="insert", event_id="e2"),
+        ]
+    )
+    t.merge(b0, "s-0", mode="mor")
+    # batch 1: string-typed stars (widens the table) + a PARTIAL that
+    # touches only stars for p1 — lang/content must survive from the
+    # long-typed base file via the upgrade join
+    b1 = spark.createDataFrame(
+        [row(3, "update", True, stars="five")], wide
+    )
+    st = t.merge(b1, "s-1", mode="mor")
+    assert st.schema_evolved == 1
+    live = {r["path"]: r for r in t.read().collect()}
+    assert live["p1"]["stars"] == "five"
+    assert live["p1"]["lang"] == "py" and live["p1"]["content"] == "v1"
+    assert live["p2"]["stars"] == "3"  # old long read under string
+    # and a later full image over the widened column still works in cow
+    b2 = spark.createDataFrame(
+        [row(4, "update", False, content="v2", lang="py", stars="six")], wide
+    )
+    t.merge(b2, "s-2", mode="cow")
+    live = {r["path"]: r for r in t.read().collect()}
+    assert live["p1"]["stars"] == "six" and live["p1"]["content"] == "v2"
