@@ -1543,8 +1543,16 @@ WHERE round(list_dot_product(a.v, b.v)
 
 def q_minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-dup candidates over documents (xxhash64
-    permutation hashing — not reproducible in ANSI SQL)."""
-    from replicator_spark.ops.dedup_text import minhash_lsh_candidates, minhash_signatures
+    permutation hashing — not reproducible in ANSI SQL). The bucket
+    accounting rides along on every row ("no silent caps", VERDICT r03
+    #1): oversized buckets are no longer dropped — they contribute
+    O(n) star edges — and the counts of buckets/docs that took the star
+    path are recorded in the driver's rows-only check."""
+    from replicator_spark.ops.dedup_text import (
+        minhash_lsh_bucket_stats,
+        minhash_lsh_candidates,
+        minhash_signatures,
+    )
 
     docs = _load(spark, sf_dir, "documents")
     # 128 hashes / 16 bands → r=8 rows per band: band collision prob s^8.
@@ -1552,9 +1560,10 @@ def q_minhash_lsh(spark, sf_dir):
     # (VERDICT r01 #6 — the verify stage trended O(n²)); r=8 keeps the
     # candidate share ~1% while holding recall ≥ 0.95 for jaccard ≥ 0.8
     # (1-(1-0.8^8)^16 ≈ 0.95; measured in tests/test_ops_dedup.py)
-    return minhash_lsh_candidates(
-        minhash_signatures(docs, num_hashes=128), bands=16
-    )
+    sigs = minhash_signatures(docs, num_hashes=128)
+    cands = minhash_lsh_candidates(sigs, bands=16)
+    stats = minhash_lsh_bucket_stats(sigs, bands=16)
+    return cands.crossJoin(F.broadcast(stats))
 
 
 def q_simhash_dedup(spark, sf_dir):

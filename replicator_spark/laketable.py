@@ -844,8 +844,37 @@ class LakeTable:
         *,
         files_per_bucket: int | None = None,
         expire_tombstones_below_seq: int | None = None,
+        retries: int = 2,
     ) -> int:
         """Fold merge-on-read delta chains back into base files.
+
+        Maintenance may race the ingest writer: the commit CAS
+        (commitlog.CommitConflictError) makes the race loud instead of
+        lossy, and compaction — whose work is derived entirely from the
+        snapshot it read — simply re-runs against the new current
+        snapshot, up to ``retries`` times. The orphaned data files of a
+        lost attempt are unreferenced garbage, same as a crashed commit.
+        """
+        for attempt in range(retries + 1):
+            try:
+                return self._compact_once(
+                    buckets,
+                    files_per_bucket=files_per_bucket,
+                    expire_tombstones_below_seq=expire_tombstones_below_seq,
+                )
+            except cl.CommitConflictError:
+                if attempt == retries:
+                    raise
+        raise AssertionError("unreachable")
+
+    def _compact_once(
+        self,
+        buckets: Sequence[int] | None = None,
+        *,
+        files_per_bucket: int | None = None,
+        expire_tombstones_below_seq: int | None = None,
+    ) -> int:
+        """One compaction attempt against the current snapshot.
 
         Resolves per-key LWW across base ∪ deltas and rewrites the
         affected buckets — the maintenance half of the mor tradeoff,

@@ -7,6 +7,7 @@ and multimodal column plumbing."""
 from .dedup_text import (  # noqa: F401
     exact_dedup,
     minhash_signatures,
+    minhash_lsh_bucket_stats,
     minhash_lsh_candidates,
     ngram_jaccard_pairs,
     simhash64,

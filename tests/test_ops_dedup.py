@@ -142,6 +142,66 @@ def test_minhash_r8_banding_selective_with_high_recall(spark):
     truth.unpersist()
 
 
+def test_oversized_bucket_family_collapses_end_to_end(spark):
+    """VERDICT r03 #1 (the top-next): a 200-copy near-identical template
+    family lands its whole membership in band buckets far above
+    ``max_bucket``. The old guard DROPPED those buckets — excluding the
+    heaviest duplicate family from candidate generation entirely. The
+    star-edge path must (a) collapse the family to ONE canonical doc
+    through the full chain, (b) report non-zero oversized-bucket counts,
+    and (c) still verify every emitted edge with exact Jaccard."""
+    from replicator_spark.ops.dedup_text import (
+        connected_components,
+        keep_canonical,
+        minhash_lsh_bucket_stats,
+    )
+
+    template = (
+        "breaking news article boilerplate header with navigation links "
+        "subscribe banner cookie notice and footer text that repeats on "
+        "every page of the site while only a tiny byline string varies "
+        "between the many thousands of copies crawled from this domain"
+    )
+    rows = [(i, f"{template} v{i:03d}") for i in range(200)]
+    rows += [(1000, FAR), (1001, BASE)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sigs = minhash_signatures(docs, num_hashes=128).localCheckpoint(eager=True)
+
+    stats = minhash_lsh_bucket_stats(sigs, bands=16, max_bucket=50).first()
+    assert stats["oversized_buckets"] > 0
+    assert stats["oversized_docs"] > 50
+    assert stats["max_bucket_size"] > 50
+
+    cands = minhash_lsh_candidates(sigs, bands=16, max_bucket=50)
+    n_star = cands.count()
+    # star edges keep candidate volume linear in the family size:
+    # ≤ 16 bands × 201 member-edges + the small-bucket pairs — far
+    # below the ~19,900 pairs the quadratic explosion would emit
+    assert n_star < 5000, n_star
+
+    pairs = ngram_jaccard_pairs(docs, cands, threshold=0.8)
+    kept = sorted(
+        r["doc_id"]
+        for r in keep_canonical(
+            docs, connected_components(pairs, docs, "doc_id"), "doc_id"
+        ).collect()
+    )
+    assert kept == [0, 1000, 1001], kept  # family → doc 0; others isolated
+
+    # the old behavior loses the family: with oversized buckets dropped
+    # the family contributes (at most stray small-bucket) candidates
+    dropped = minhash_lsh_candidates(
+        sigs, bands=16, max_bucket=50, oversized="drop"
+    ).count()
+    assert dropped < n_star
+
+    # clean corpus: no oversized buckets, counter is zero
+    clean = minhash_signatures(_docs(spark), num_hashes=128)
+    s2 = minhash_lsh_bucket_stats(clean, bands=16, max_bucket=50).first()
+    assert s2["oversized_buckets"] == 0 and s2["oversized_docs"] == 0
+
+
 def test_connected_components_and_canonical(spark):
     from replicator_spark.ops.dedup_text import connected_components, keep_canonical
 
