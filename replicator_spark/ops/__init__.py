@@ -16,6 +16,7 @@ from .dedup_text import (  # noqa: F401
 from .similarity import (  # noqa: F401
     brute_force_knn,
     lsh_bucket_knn,
+    lsh_near_dup_pairs,
 )
 from .text import (  # noqa: F401
     detect_lang,

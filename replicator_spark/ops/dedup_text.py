@@ -178,9 +178,20 @@ def minhash_lsh_candidates(
     as bucket pairs. ``oversized="drop"`` restores the old
     silently-lossy guard (kept only for A/B measurement).
     """
+    sized = _lsh_buckets(sigs, id_col, bands)
+    return bucket_candidate_pairs(sized, max_bucket=max_bucket, oversized=oversized)
+
+
+def bucket_candidate_pairs(
+    sized: DataFrame, *, max_bucket: int = 50, oversized: str = "star"
+) -> DataFrame:
+    """Candidate pairs (id_a < id_b) from a bucketed frame with an
+    ``ids`` array column and its ``n`` size — the shared tail of every
+    LSH family (MinHash bands, sign-projection embedding buckets).
+    Small buckets explode to all pairs; oversized ones take the O(n)
+    star-edge path (or are dropped when ``oversized="drop"``)."""
     if oversized not in ("star", "drop"):
         raise ValueError(f"oversized must be 'star' or 'drop', got {oversized!r}")
-    sized = _lsh_buckets(sigs, id_col, bands)
     ok = sized.where((F.col("n") >= 2) & (F.col("n") <= max_bucket))
     pairs = ok.select(
         F.explode(

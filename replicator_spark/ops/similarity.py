@@ -10,6 +10,10 @@
   variants), turning O(Q×N) into O(Q×N/2^bits) per table. Recall is
   tunable via ``num_tables``/``hash_bits``.
 
+* lsh_near_dup_pairs — near-dup PAIRS at scale: LSH buckets as the
+  candidate generator, exact cosine verify on candidates only — the
+  embedding twin of the MinHash→verify text-dedup chain. The all-pairs
+  ``cosine_near_dup_blocked`` stays as the exact baseline/oracle.
 * ivf_knn — the trained scale path: KMeans (spark.ml) coarse quantizer;
   corpus rows are assigned to their nearest centroid cell, queries probe
   the ``n_probe`` nearest cells only — O(Q·N·probe/cells) instead of
@@ -247,6 +251,59 @@ def lsh_bucket_knn(
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def lsh_near_dup_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int,
+    threshold: float = 0.9,
+    hash_bits: int = 8,
+    num_tables: int = 8,
+    seed: int = 42,
+    round_to: int | None = 4,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """Embedding near-dup PAIRS via the composed scale path (VERDICT
+    r03 #3): sign-projection LSH buckets generate candidates — O(n·T)
+    bucket rows, one shuffle — and only candidate pairs get an exact
+    cosine verify. This replaces the corpus-wide all-pairs O(n²) shape
+    for dedup duty; ``cosine_near_dup_blocked`` remains the exact
+    baseline/oracle. Bucket skew reuses the MinHash machinery
+    (``bucket_candidate_pairs``): oversized buckets emit O(n) star
+    edges instead of being dropped, and every edge is still verified.
+
+    Returns (id_a, id_b, cos) with id_a < id_b and cos ≥ threshold.
+    Recall is tunable via ``hash_bits``/``num_tables`` — at the dup end
+    (cos ≳ 0.99) the per-pair miss probability is
+    (1 − p^bits)^tables with p = 1 − θ/π ≈ 0.97, i.e. ~1e-5 at the
+    8/8 defaults."""
+    from .dedup_text import bucket_candidate_pairs
+
+    keys = _lsh_keys_udf(dim, hash_bits, num_tables, seed)
+    v = df.select(
+        F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v")
+    )
+    sized = (
+        v.select("_id", F.explode(keys(F.col("_v"))).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.collect_list("_id").alias("ids"), F.count(F.lit(1)).alias("n"))
+    )
+    cands = bucket_candidate_pairs(sized, max_bucket=max_bucket)
+    a = v.select(F.col("_id").alias("id_a"), F.col("_v").alias("va"))
+    b = v.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb"))
+    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    if round_to is not None:
+        cos = F.round(cos, round_to)
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("cos", cos)
+        .where(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
     )
 
 

@@ -235,6 +235,83 @@ def test_tombstone_expiry_reaches_quiet_buckets(spark, tmp_path):
     assert table._snap().version == v
 
 
+def test_tombstone_expiry_reaches_quiet_cow_buckets(spark, tmp_path):
+    """VERDICT r03 #2: the quiet-bucket fix covered mor only — cow
+    merges dropped the touched buckets' tombstone stats ('conservative')
+    and compact() never saw cow buckets, so a delete-heavy bucket going
+    cold in a COW table retained its tombstones forever. Cow merges now
+    record exact per-bucket stats from the files they just wrote, and an
+    expiry compaction reaches the quiet cow bucket."""
+    from pyspark.sql import Row
+
+    table = LakeTable(spark, str(tmp_path / "t"))
+    table.create(REPOS_SCHEMA, num_buckets=4)
+
+    def batch(rows):
+        return spark.createDataFrame([Row(**r) for r in rows])
+
+    def row(repo, path, seq, op):
+        return dict(repo=repo, path=path, commit="c", lang="py",
+                    content=f"v{seq}", seq=seq, op=op, event_id=f"e{seq}")
+
+    # bucket A (repo 'cold'): insert then delete via COW, then goes quiet
+    table.merge(batch([row("cold", "p1", 1, "insert"),
+                       row("cold", "p2", 2, "insert")]), "s-0", mode="cow")
+    table.merge(batch([row("cold", "p1", 3, "delete")]), "s-1", mode="cow")
+    bt = table._snap().props["bucket_tombstones"]
+    assert any(n for n, _ in bt.values()), "cow merge must record the tombstone"
+
+    # hot traffic elsewhere only; the cold bucket receives nothing more
+    for i in range(4, 10):
+        table.merge(batch([row("hot", f"q{i}", i, "insert")]), f"s-{i}",
+                    mode="cow")
+    bt = table._snap().props["bucket_tombstones"]
+    assert any(n for n, _ in bt.values())  # stats survive unrelated merges
+    dead = table.read(include_deleted=True, include_engine_cols=True).where(
+        "_deleted")
+    assert dead.count() == 1
+
+    # retention passed → maintenance expiry must reach the quiet cow
+    # bucket (no delta chains exist anywhere on a cow table)
+    live_before = {(r["repo"], r["path"]) for r in table.read().collect()}
+    table.compact(expire_tombstones_below_seq=4)
+    assert table.read(include_deleted=True, include_engine_cols=True).where(
+        "_deleted").count() == 0
+    assert {(r["repo"], r["path"]) for r in table.read().collect()} == live_before
+    # stats now clean → further expiry is a version no-op
+    v = table._snap().version
+    assert not any(n for n, _ in table._snap().props["bucket_tombstones"].values())
+    table.compact(expire_tombstones_below_seq=10**9)
+    assert table._snap().version == v
+
+
+def test_cow_expiry_below_watermark_keeps_tombstone(spark, tmp_path):
+    """Cow twin of the mor never-resurrect test: a tombstone at/above
+    the expiry watermark survives the cow-bucket expiry pass, so an
+    in-window straggler is still rejected."""
+    from pyspark.sql import Row
+
+    table = LakeTable(spark, str(tmp_path / "t"))
+    table.create(REPOS_SCHEMA, num_buckets=4)
+
+    def batch(rows):
+        return spark.createDataFrame([Row(**r) for r in rows])
+
+    def row(repo, path, seq, op):
+        return dict(repo=repo, path=path, commit="c", lang="py",
+                    content=f"v{seq}", seq=seq, op=op, event_id=f"e{seq}")
+
+    table.merge(batch([row("a", "p", 1, "insert")]), "s-0", mode="cow")
+    table.merge(batch([row("a", "p", 5, "delete")]), "s-1", mode="cow")
+    # watermark below the tombstone: the stats-driven pass keeps it
+    table.compact(expire_tombstones_below_seq=3)
+    assert table.read(include_deleted=True, include_engine_cols=True).where(
+        "_deleted").count() == 1
+    # straggler update with seq 2 arrives late → still rejected
+    table.merge(batch([row("a", "p", 2, "update")]), "s-2", mode="cow")
+    assert table.read().where("repo = 'a'").count() == 0
+
+
 def test_quiet_bucket_expiry_never_resurrects(spark, tmp_path):
     """LWW safety: expiry must not drop a tombstone that still guards
     against an in-window straggler — only tombstones BELOW the
