@@ -1649,42 +1649,153 @@ def q_minhash_lsh(spark, sf_dir):
 
 def q_simhash_dedup(spark, sf_dir):
     """SimHash near-dup pairs (chunked pigeonhole blocking). Hamming
-    radius 3 over 64 bits — the conventional simhash dedup setting;
-    wide radii degrade blocking selectivity quadratically (radius 12
-    means 13 chunks of ~5 bits → 32-value chunk alphabet → every bucket
-    holds n/32 docs and the verify stage goes O(n²))."""
+    radius 3 — the conventional simhash dedup setting; wide radii
+    degrade blocking selectivity quadratically (radius 12 means 13
+    chunks of ~5 bits → 32-value chunk alphabet → every bucket holds
+    n/32 docs and the verify stage goes O(n²)).
+
+    Oracle-gated since r4 (VERDICT r03 #9): the contract query uses the
+    sha2-derived 60-bit token hash, which DuckDB reproduces exactly —
+    the oracle recomputes the simhashes from scratch and takes the
+    ALL-PAIRS hamming filter, so hash-equality also proves the
+    pigeonhole blocking is lossless on this corpus. The library default
+    stays xxhash64 (faster; cross-checked in pytest)."""
     from replicator_spark.ops.dedup_text import simhash64, simhash_near_dups
 
     docs = _load(spark, sf_dir, "documents")
-    return simhash_near_dups(simhash64(docs), max_hamming=3)
+    return simhash_near_dups(simhash64(docs, token_hash="sha2"), max_hamming=3)
+
+
+SQL_simhash_dedup = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+  FROM documents
+),
+th AS (
+  SELECT doc_id, ('0x' || substr(sha256(t), 1, 15))::BIGINT AS h FROM tok
+),
+bits AS (
+  SELECT doc_id, r.b AS b,
+         SUM(CASE WHEN (h >> r.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM th, range(60) r(b)
+  GROUP BY doc_id, r.b
+),
+sh AS (
+  SELECT doc_id,
+         SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
+  FROM bits GROUP BY doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+def _with_measured_recall(approx, exact):
+    """Attach measured recall@k vs the exact result as a column on every
+    row (VERDICT r03 #9: the pytest recall gates exist — surface the
+    number in the query result so the driver records it)."""
+    e = exact.select("query_id", "neighbor_id")
+    n_exact = e.count()
+    hit = approx.join(e, ["query_id", "neighbor_id"], "left_semi").count()
+    recall = round(hit / n_exact, 4) if n_exact else 1.0
+    return approx.withColumn("recall_at_k", F.lit(recall))
+
+
+def _ann_planted_corpus(emb):
+    """Queries (vec_id < 5) + corpus augmented with three perturbed
+    copies of each query vector. The synthetic embeddings are
+    near-orthogonal (background cos ≤ ~0.51), so the planted copies
+    (cos ≈ 0.995/0.989/0.981) are unambiguously the true top-3 of every
+    query — which is what lets an APPROXIMATE index be hash-verified
+    against the exact top-k oracle: on a corpus with real neighbor
+    structure (the regime ANN exists for), the index must find it."""
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = emb.select("vec_id", v.alias("v"))
+    q = base.where(F.col("vec_id") < 5)
+    aug = base
+    for i, off in enumerate((0.1, 0.15, 0.2), start=1):
+        aug = aug.unionByName(
+            q.select(
+                (F.col("vec_id") + 100000 * i).alias("vec_id"),
+                F.concat(
+                    F.array(F.col("v")[0] + F.lit(off)), F.slice(F.col("v"), 2, 63)
+                ).alias("v"),
+            )
+        )
+    return q, aug
+
+
+SQL_ANN_EXACT_TOPK = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id, v FROM e WHERE vec_id < 5),
+aug AS (
+  SELECT vec_id, v FROM e
+  UNION ALL SELECT vec_id + 100000, list_prepend(v[1] + 0.1, v[2:]) FROM q
+  UNION ALL SELECT vec_id + 200000, list_prepend(v[1] + 0.15, v[2:]) FROM q
+  UNION ALL SELECT vec_id + 300000, list_prepend(v[1] + 0.2, v[2:]) FROM q
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_dot_product(q.v, c.v)
+               / (sqrt(list_dot_product(q.v, q.v))
+                  * sqrt(list_dot_product(c.v, c.v))), 4) AS cos
+  FROM q JOIN aug c ON c.vec_id <> q.vec_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos, CAST(rank AS INTEGER) AS rank,
+       CAST(1.0 AS DOUBLE) AS recall_at_k
+FROM ranked WHERE rank <= 3
+"""
 
 
 def q_ann_lsh(spark, sf_dir):
     """LSH-bucketed approximate nearest neighbors (scale path of
-    knn_bruteforce)."""
-    from replicator_spark.ops.similarity import lsh_bucket_knn
+    knn_bruteforce). Oracle-gated since r4 (VERDICT r03 #9): the corpus
+    carries planted true neighbors (see ``_ann_planted_corpus``), the
+    oracle is the EXACT top-3 in DuckDB, and hash-equality asserts the
+    index recalls the true neighbors (recall column = 1.0) — an
+    approximate index verified in the margin regime it is built for.
+    Recall is measured, not assumed: a miss changes the column and the
+    neighbor rows and fails the hash."""
+    from replicator_spark.ops.similarity import brute_force_knn, lsh_bucket_knn
 
     emb = _load(spark, sf_dir, "embeddings")
-    return lsh_bucket_knn(
-        emb, emb.where(F.col("vec_id") < 5), dim=64, k=3, hash_bits=4, num_tables=6
+    q, aug = _ann_planted_corpus(emb)
+    approx = lsh_bucket_knn(
+        aug, q, vec_col="v", dim=64, k=3, hash_bits=4, num_tables=6
     )
+    return _with_measured_recall(approx, brute_force_knn(aug, q, vec_col="v", k=3))
+
+
+SQL_ann_lsh = SQL_ANN_EXACT_TOPK
 
 
 def q_ann_ivf(spark, sf_dir):
     """IVF-flat approximate nearest neighbors: KMeans coarse quantizer,
     queries probe n_probe nearest cells (the trained counterpart of
-    ann_lsh). Clustering is data-adaptive ⇒ rows-only check.
+    ann_lsh). Oracle-gated like ann_lsh: planted-neighbor corpus, exact
+    top-3 oracle, measured recall@k on every row.
     ``train_fraction=0.5`` exercises the 100-TB path: the quantizer
     trains on a deterministic sample, never the full corpus (VERDICT
-    r02 #7; recall vs brute force pinned in
+    r02 #7; recall vs brute force also pinned in
     tests/test_ops_similarity.py)."""
-    from replicator_spark.ops.similarity import ivf_knn
+    from replicator_spark.ops.similarity import brute_force_knn, ivf_knn
 
     emb = _load(spark, sf_dir, "embeddings")
-    return ivf_knn(
-        emb, emb.where(F.col("vec_id") < 5), k=3, n_centroids=16, n_probe=4,
-        train_fraction=0.5,
+    q, aug = _ann_planted_corpus(emb)
+    approx = ivf_knn(
+        aug, q, vec_col="v", k=3, n_centroids=16, n_probe=4, train_fraction=0.5
     )
+    return _with_measured_recall(approx, brute_force_knn(aug, q, vec_col="v", k=3))
+
+
+SQL_ann_ivf = SQL_ANN_EXACT_TOPK
 
 
 def q_repo_activity_stateful(spark, sf_dir):
@@ -1970,11 +2081,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dedup_end2end": q_embedding_dedup_end2end,
         "decontaminate": q_decontaminate,
         "repetition_filter": q_repetition_filter,
-        # rows-only (no ANSI-SQL equivalent):
-        "minhash_lsh": q_minhash_lsh,
         "simhash_dedup": q_simhash_dedup,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
+        # rows-only (no ANSI-SQL equivalent — xxhash64 banding; the
+        # rows carry the oversized-bucket accounting, and the chain is
+        # hash-gated via dedup_pipeline_end2end):
+        "minhash_lsh": q_minhash_lsh,
         "media_features": q_media_features,
         "frame_sample": q_frame_sample,
         "repo_activity_stateful": q_repo_activity_stateful,
@@ -2030,4 +2143,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_dedup_end2end": SQL_embedding_dedup_end2end,
         "decontaminate": SQL_decontaminate,
         "repetition_filter": SQL_repetition_filter,
+        "simhash_dedup": SQL_simhash_dedup,
+        "ann_lsh": SQL_ann_lsh,
+        "ann_ivf": SQL_ann_ivf,
     }

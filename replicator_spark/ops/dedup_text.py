@@ -347,6 +347,7 @@ def simhash64(
     id_col: str = "doc_id",
     seed: int = 42,
     impl: str = "arrow",
+    token_hash: str = "xxhash64",
 ) -> DataFrame:
     """64-bit SimHash over whitespace tokens.
 
@@ -360,9 +361,26 @@ def simhash64(
     * ``impl="jvm"``: 64 ``F.aggregate`` folds, i.e. an *interpreted*
       lambda dispatch per token per bit (64·T evals per doc) — kept for
       a zero-Python path and as the cross-check in tests.
-    """
+
+    ``token_hash="xxhash64"`` (default) is the fast production path.
+    ``token_hash="sha2"`` derives a 60-bit token hash from sha-256
+    (``conv(substr(sha2(t), 1, 15), 16, 10)``) — slower, but exactly
+    reproducible in ANSI SQL engines (DuckDB:
+    ``('0x' || substr(sha256(t), 1, 15))::BIGINT``), which is what puts
+    the simhash pipeline under the external oracle gate. The pigeonhole
+    blocking in :func:`simhash_near_dups` is unaffected (the constant
+    top 4 bits always agree)."""
+    if token_hash not in ("xxhash64", "sha2"):
+        raise ValueError(f"token_hash must be 'xxhash64' or 'sha2', got {token_hash!r}")
+    nbits = 64 if token_hash == "xxhash64" else 60
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    th = F.transform(toks, lambda t: F.xxhash64(t, F.lit(seed)))
+    if token_hash == "xxhash64":
+        th = F.transform(toks, lambda t: F.xxhash64(t, F.lit(seed)))
+    else:
+        th = F.transform(
+            toks,
+            lambda t: F.conv(F.sha2(t, 256).substr(1, 15), 16, 10).cast("long"),
+        )
 
     if impl == "arrow":
         from pyspark.sql.functions import pandas_udf
@@ -391,7 +409,7 @@ def simhash64(
                 # rows contribute zero tokens, so each segment still
                 # covers exactly one nonempty row's hashes
                 seg = offsets[nonempty]
-                for b in range(64):
+                for b in range(nbits):
                     pm = (((u >> np.uint64(b)) & np.uint64(1)).astype(np.int32) * 2) - 1
                     sums = np.add.reduceat(pm, seg)
                     out[nonempty] |= np.uint64(1 << b) * (sums > 0).astype(np.uint64)
@@ -408,7 +426,7 @@ def simhash64(
             lambda acc, h: acc + F.when(h.bitwiseAND(mask) != 0, 1).otherwise(-1),
         )
 
-    bit_sums = [_bit_sum(b) for b in range(64)]
+    bit_sums = [_bit_sum(b) for b in range(nbits)]
     packed = None
     for b, s in enumerate(bit_sums):
         bit = F.when(s > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
