@@ -181,7 +181,11 @@ def run_streaming_watched(spark, cfg: JobConfig, table, config_path: str | None)
                         reloaded = True
                         break
             time.sleep(0.2)
-        q.awaitTermination()
+        # pause during an open-circuit wait aborts with CircuitOpen
+        # inside foreachBatch — a clean stop, not a crash (ADVICE r03)
+        from .streaming import await_stream
+
+        await_stream(q, table.root, cfg.name)
         if reloaded and cfg.enabled and not lifecycle.is_paused(table.root, cfg.name):
             continue
         return cfg
@@ -221,13 +225,34 @@ def cmd_run(cfg: JobConfig, config_path: str | None = None) -> int:
     return 0
 
 
-def cmd_lifecycle(cmd: str, table_root: str, stream: str | None) -> int:
+def cmd_lifecycle(
+    cmd: str,
+    table_root: str,
+    stream: str | None,
+    health: bool = False,
+    feed_dir: str | None = None,
+    checkpoint_dir: str | None = None,
+    freshness_s: float = 600.0,
+) -> int:
     """pause / resume / status — the reference's per-stream lifecycle
     API (``pkg/api/streams.go``; states ``pkg/models/models.go:78-105``)
-    as CLI subcommands over the marker + snapshot-log state."""
+    as CLI subcommands over the marker + snapshot-log state.
+    ``status --health`` runs the pluggable checker battery
+    (``lifecycle.health`` — the ``pkg/api/health.go`` liveness/readiness
+    surface) and exits non-zero when unhealthy, so a K8s-style operator
+    can probe the job with an exec/cron check."""
     from . import lifecycle
 
     if cmd == "status":
+        if health:
+            h = lifecycle.health(
+                table_root,
+                feed_dir=feed_dir,
+                checkpoint_dir=checkpoint_dir,
+                freshness_s=freshness_s,
+            )
+            print(json.dumps(h, indent=2))
+            return 0 if h["healthy"] else 1
         print(json.dumps(lifecycle.status(table_root), indent=2))
         return 0
     if not stream:
@@ -365,6 +390,11 @@ def main(argv: list[str] | None = None) -> int:
         lp = sub.add_parser(c)
         lp.add_argument("--table-root", required=True)
         lp.add_argument("--stream", default=None)
+        if c == "status":
+            lp.add_argument("--health", action="store_true")
+            lp.add_argument("--feed-dir", default=None)
+            lp.add_argument("--checkpoint-dir", default=None)
+            lp.add_argument("--freshness-s", type=float, default=600.0)
     cp = sub.add_parser("compact")
     cp.add_argument("--table-root", required=True)
     cp.add_argument("--expire-below", type=int, default=None)
@@ -391,7 +421,15 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "metrics":
         return cmd_metrics(args.table_root)
     if args.cmd in ("pause", "resume", "status"):
-        return cmd_lifecycle(args.cmd, args.table_root, args.stream)
+        return cmd_lifecycle(
+            args.cmd,
+            args.table_root,
+            args.stream,
+            health=getattr(args, "health", False),
+            feed_dir=getattr(args, "feed_dir", None),
+            checkpoint_dir=getattr(args, "checkpoint_dir", None),
+            freshness_s=getattr(args, "freshness_s", 600.0),
+        )
     if args.cmd == "compact":
         return cmd_compact(args.table_root, args.expire_below, args.tombstone_retention)
     if args.cmd == "history":

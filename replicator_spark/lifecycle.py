@@ -55,6 +55,226 @@ def is_paused(table_root: str, stream: str) -> bool:
     return os.path.exists(_marker(table_root, stream))
 
 
+def _breaker_marker(table_root: str, stream: str) -> str:
+    return os.path.join(_control_dir(table_root), f"{stream}.breaker.json")
+
+
+def breaker_state_writer(table_root: str, stream: str):
+    """Listener for qos.CircuitBreaker: persists every state transition
+    to ``_control/<stream>.breaker.json`` (atomic write) so the health
+    surface can see an open circuit from outside the driver process."""
+    import time
+
+    def _write(breaker) -> None:
+        cl._atomic_write(
+            _breaker_marker(table_root, stream),
+            json.dumps(
+                {
+                    "stream": stream,
+                    "state": breaker.state,
+                    "consecutive_failures": breaker.consecutive_failures,
+                    "ts_ms": int(time.time() * 1000),
+                }
+            ),
+        )
+
+    return _write
+
+
+def breaker_states(table_root: str) -> dict[str, dict]:
+    """Persisted breaker state per stream (absent file = never tripped,
+    i.e. closed)."""
+    out: dict[str, dict] = {}
+    try:
+        names = os.listdir(_control_dir(table_root))
+    except FileNotFoundError:
+        return out
+    for n in names:
+        if n.endswith(".breaker.json"):
+            try:
+                with open(os.path.join(_control_dir(table_root), n)) as f:
+                    d = json.load(f)
+                out[n[: -len(".breaker.json")]] = d
+            except (OSError, json.JSONDecodeError):
+                out[n[: -len(".breaker.json")]] = {"state": "unreadable"}
+    return out
+
+
+def health(
+    table_root: str,
+    *,
+    feed_dir: str | None = None,
+    checkpoint_dir: str | None = None,
+    freshness_s: float = 600.0,
+    extra_checks: tuple = (),
+) -> dict:
+    """Pluggable health checks — the reference's ``pkg/api/health.go``
+    liveness/readiness surface as a driver-side probe (no Spark job).
+
+    Built-in checkers: snapshot loadable (hint readable, metadata
+    parses), ledger sanity (committed versions ≤ current, floors below
+    last batch), no paused streams (a paused ingest job is *not ready*),
+    no open circuit breaker, checkpoint freshness vs feed mtime (a feed
+    that moved while the checkpoint did not means the job is stalled),
+    and metrics-log writability. ``feed_dir``/``checkpoint_dir`` default
+    to the newest config backup archived next to the table (see
+    ``cli config-backup``); without either source the freshness check is
+    skipped, not failed. ``extra_checks``: iterable of ``(name, fn)``
+    where ``fn() -> (ok, detail)`` — the pluggable part.
+
+    Returns ``{"healthy": bool, "checks": [{name, ok, detail}, ...]}``.
+    """
+    checks: list[dict] = []
+
+    def add(name: str, ok: bool, detail: str) -> None:
+        checks.append({"name": name, "ok": bool(ok), "detail": detail})
+
+    # -- snapshot loadable ------------------------------------------------
+    snap = None
+    try:
+        snap = cl.load_snapshot(table_root)
+        if snap is None:
+            add("snapshot", False, "no table at root (missing version hint)")
+        else:
+            add("snapshot", True, f"version {snap.version} loads")
+    except Exception as exc:  # noqa: BLE001 — any parse/IO failure is the finding
+        add("snapshot", False, f"snapshot unreadable: {type(exc).__name__}: {exc}")
+
+    # -- ledger sanity ----------------------------------------------------
+    if snap is not None:
+        bad = [
+            (k, v) for k, v in snap.committed_batches.items() if v > snap.version
+        ]
+        floors_bad = []
+        last: dict[str, int] = {}
+        for k in snap.committed_batches:
+            p = cl.parse_batch_key(k)
+            if p:
+                last[p[0]] = max(last.get(p[0], -1), p[1])
+        for s, fl in snap.ledger_floor.items():
+            if s in last and fl >= last[s] and snap.committed_batches:
+                floors_bad.append((s, fl))
+        ok = not bad and not floors_bad
+        add(
+            "ledger",
+            ok,
+            "consistent"
+            if ok
+            else f"future versions {bad}, floor≥retained {floors_bad}",
+        )
+
+    # -- paused streams (readiness) --------------------------------------
+    try:
+        paused = [
+            m[: -len(".pause")]
+            for m in os.listdir(_control_dir(table_root))
+            if m.endswith(".pause")
+        ]
+    except FileNotFoundError:
+        paused = []
+    add(
+        "streams_running",
+        not paused,
+        "no pause markers" if not paused else f"paused: {paused}",
+    )
+
+    # -- circuit breaker --------------------------------------------------
+    open_breakers = {
+        s: d for s, d in breaker_states(table_root).items()
+        if d.get("state") not in ("closed", None)
+    }
+    add(
+        "circuit_breaker",
+        not open_breakers,
+        "all closed" if not open_breakers else f"not closed: {open_breakers}",
+    )
+
+    # -- checkpoint freshness vs feed ------------------------------------
+    if feed_dir is None and checkpoint_dir is None:
+        cfg = _latest_config_backup(table_root)
+        if cfg:
+            feed_dir = cfg.get("feed_dir")
+            checkpoint_dir = cfg.get("checkpoint_dir")
+    if feed_dir and checkpoint_dir:
+        fm = _tree_mtime(feed_dir)
+        cm = _tree_mtime(os.path.join(checkpoint_dir, "commits"))
+        if cm is None:
+            cm = _tree_mtime(checkpoint_dir)
+        if fm is None:
+            add("checkpoint_freshness", True, "feed empty/absent — nothing to lag")
+        elif cm is None:
+            add("checkpoint_freshness", False, "feed has data but no checkpoint")
+        else:
+            lag = fm - cm
+            add(
+                "checkpoint_freshness",
+                lag <= freshness_s,
+                f"feed is {max(0, int(lag))}s ahead of checkpoint"
+                f" (threshold {int(freshness_s)}s)",
+            )
+    else:
+        add(
+            "checkpoint_freshness",
+            True,
+            "skipped: no feed/checkpoint dirs (pass flags or archive a config backup)",
+        )
+
+    # -- metrics-log writability -----------------------------------------
+    mdir = os.path.join(table_root, "_metrics")
+    probe = mdir if os.path.isdir(mdir) else table_root
+    add(
+        "metrics_writable",
+        os.access(probe, os.W_OK),
+        f"{probe} writable" if os.access(probe, os.W_OK) else f"{probe} not writable",
+    )
+
+    # -- pluggable extras -------------------------------------------------
+    for name, fn in extra_checks:
+        try:
+            ok, detail = fn()
+        except Exception as exc:  # noqa: BLE001 — a crashing checker is a failure
+            ok, detail = False, f"checker raised: {type(exc).__name__}: {exc}"
+        add(name, ok, detail)
+
+    return {"healthy": all(c["ok"] for c in checks), "checks": checks}
+
+
+def _latest_config_backup(table_root: str) -> dict | None:
+    d = os.path.join(table_root, "_config")
+    try:
+        names = sorted(
+            n for n in os.listdir(d)
+            if n.startswith("backup-") and n.endswith(".json")
+        )
+    except FileNotFoundError:
+        return None
+    if not names:
+        return None
+    try:
+        with open(os.path.join(d, names[-1])) as f:
+            return json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return None
+
+
+def _tree_mtime(path: str) -> float | None:
+    """Newest mtime of any regular file under ``path`` (None if none).
+    Hidden/underscore bookkeeping files (_SUCCESS, .crc) are skipped."""
+    newest = None
+    if not os.path.isdir(path):
+        return None
+    for dirpath, _dirs, files in os.walk(path):
+        for n in files:
+            if n.startswith((".", "_")):
+                continue
+            try:
+                m = os.path.getmtime(os.path.join(dirpath, n))
+            except OSError:
+                continue
+            newest = m if newest is None else max(newest, m)
+    return newest
+
+
 def status(table_root: str) -> dict:
     """Snapshot of the table + per-stream apply state — the reference's
     stream-status endpoint, driver-side (no Spark job)."""

@@ -81,8 +81,15 @@ def _append(dirpath: str, row: dict) -> None:
         f.write(lead + json.dumps(row) + "\n")
     if os.path.getsize(path) >= ROLL_BYTES:
         # atomic rename; single writer (the Spark driver) assumed, same
-        # as the snapshot log
-        os.rename(path, os.path.join(dirpath, f"log-{row['ts_ms']}.jsonl"))
+        # as the snapshot log. Bump the stamp while the target exists —
+        # two rolls in one millisecond must not overwrite a segment
+        # (ADVICE r03; same idiom as cmd_config_backup)
+        ts = row["ts_ms"]
+        seg = os.path.join(dirpath, f"log-{ts}.jsonl")
+        while os.path.exists(seg):
+            ts += 1
+            seg = os.path.join(dirpath, f"log-{ts}.jsonl")
+        os.rename(path, seg)
 
 
 def append_metrics(table_root: str, row: dict) -> None:

@@ -77,14 +77,31 @@ class CircuitBreaker:
     consecutive_failures: int = 0
     opened_at: float | None = None
     half_open_inflight: int = 0
+    half_open_successes: int = 0
+    # state-transition hook: called as listener(breaker) after every
+    # state change — used to persist breaker state for the health
+    # surface (streaming.py writes _control/<stream>.breaker.json).
+    # Listener errors never break the apply path.
+    listener: object = None
+
+    def _set_state(self, new: str) -> None:
+        if new == self.state:
+            return
+        self.state = new
+        if self.listener is not None:
+            try:
+                self.listener(self)
+            except Exception:  # noqa: BLE001 — observability must not fail apply
+                pass
 
     def _maybe_half_open(self) -> None:
         if (
             self.state == "open"
             and self.clock() - self.opened_at >= self.config.recovery_timeout_s
         ):
-            self.state = "half_open"
             self.half_open_inflight = 0
+            self.half_open_successes = 0
+            self._set_state("half_open")
 
     def allows(self) -> bool:
         if not self.config.enabled:
@@ -98,19 +115,29 @@ class CircuitBreaker:
 
     def record_success(self) -> None:
         self.consecutive_failures = 0
-        self.state = "closed"
+        if self.state == "half_open":
+            # ADVICE r03: half_open_requests means "this many successful
+            # probes close the circuit", not just a concurrency cap
+            self.half_open_inflight = max(0, self.half_open_inflight - 1)
+            self.half_open_successes += 1
+            if self.half_open_successes < self.config.half_open_requests:
+                return
         self.opened_at = None
+        self._set_state("closed")
 
     def record_failure(self) -> None:
         if not self.config.enabled:
             return
         self.consecutive_failures += 1
+        if self.state == "half_open":
+            self.half_open_inflight = max(0, self.half_open_inflight - 1)
         if (
             self.state == "half_open"
             or self.consecutive_failures >= self.config.failure_threshold
         ):
-            self.state = "open"
             self.opened_at = self.clock()
+            self.half_open_successes = 0
+            self._set_state("open")
 
 
 def call_with_qos(
@@ -152,7 +179,11 @@ def call_with_qos(
             if breaker is not None:
                 breaker.record_failure()
             if attempt < retry.max_retries and retry.is_retryable(exc):
-                sleep(retry.delay(attempt))
+                # ADVICE r03: if this failure just opened the breaker,
+                # the allows() loop above already enforces the recovery
+                # wait — the backoff sleep on top would double the delay
+                if breaker is None or breaker.state != "open":
+                    sleep(retry.delay(attempt))
                 attempt += 1
                 continue
             raise

@@ -76,6 +76,14 @@ def run_stream(
 
     tracker = SchemaTracker() if payload_schema is None else None
 
+    # persist breaker state transitions next to the table so the health
+    # surface (lifecycle.health / cli status --health) can see an open
+    # circuit from outside this driver process
+    if qos is not None and qos.breaker is not None and qos.breaker.listener is None:
+        from . import lifecycle as _lc
+
+        qos.breaker.listener = _lc.breaker_state_writer(table.root, stream_name)
+
     def _apply(batch_df, batch_id: int):
         def _one():
             return apply_batch(
@@ -135,8 +143,27 @@ def run_stream_to_completion(spark, feed_dir, table, checkpoint_dir, **kw):
             q.stop()
             break
         time.sleep(0.2)
-    q.awaitTermination()
+    await_stream(q, table.root, stream_name)
     return q
+
+
+def await_stream(q, table_root: str, stream_name: str) -> None:
+    """awaitTermination that treats a pause-initiated CircuitOpen abort
+    as a clean stop (ADVICE r03): pausing a stream whose breaker is in
+    its open-circuit wait aborts the wait with CircuitOpen inside
+    foreachBatch, which fails the StreamingQuery — but the operator
+    asked for a pause, not a crash. The failed micro-batch is NOT in the
+    checkpoint WAL, so resume re-delivers it; nothing is lost."""
+    from pyspark.errors import StreamingQueryException
+
+    from . import lifecycle
+
+    try:
+        q.awaitTermination()
+    except StreamingQueryException as exc:
+        if "CircuitOpen" in str(exc) and lifecycle.is_paused(table_root, stream_name):
+            return
+        raise
 
 
 def run_stats_stream(

@@ -468,3 +468,112 @@ def test_metrics_legacy_only_dir_reads_clean(spark, tmp_path):
     assert "replicator_received_records_total 7" in M.to_prometheus_text(root)
     # and a table with NO metrics dir at all reads empty
     assert M.read_metrics(spark, str(tmp_path / "none")).count() == 0
+
+
+def test_health_surface_healthy_and_unhealthy(spark, tmp_path, capsys):
+    """VERDICT r03 #5 (pkg/api/health.go analogue): status --health runs
+    the checker battery, prints JSON, and exits non-zero when unhealthy
+    — covering healthy, torn-hint, paused-stream, open-breaker, and
+    stale-checkpoint cases, plus the pluggable extra_checks hook."""
+    import os
+    import time
+
+    from replicator_spark import lifecycle
+    from replicator_spark.laketable import LakeTable
+    from replicator_spark.model import REPOS_SCHEMA
+    from replicator_spark.pipeline import replay_feed
+
+    feed, root = str(tmp_path / "feed"), str(tmp_path / "table")
+    write_feed(gen_changes(spark, 600, n_batches=2), feed)
+    t = LakeTable(spark, root)
+    t.create(REPOS_SCHEMA, num_buckets=4)
+    replay_feed(spark, feed, t, mode="mor")
+
+    # healthy: all checks pass, exit 0 (freshness skipped: no dirs known)
+    assert cli.main(["status", "--table-root", root, "--health"]) == 0
+    h = json.loads(capsys.readouterr().out)
+    assert h["healthy"] and all(c["ok"] for c in h["checks"])
+    names = {c["name"] for c in h["checks"]}
+    assert {"snapshot", "ledger", "streams_running", "circuit_breaker",
+            "checkpoint_freshness", "metrics_writable"} <= names
+
+    # paused stream -> not ready, exit 1
+    lifecycle.pause(root, "feed")
+    assert cli.main(["status", "--table-root", root, "--health"]) == 1
+    h = json.loads(capsys.readouterr().out)
+    assert not h["healthy"]
+    assert any(c["name"] == "streams_running" and not c["ok"] for c in h["checks"])
+    lifecycle.resume(root, "feed")
+
+    # open circuit breaker (persisted transition) -> unhealthy
+    from replicator_spark.qos import CircuitBreaker, CircuitBreakerConfig
+
+    br = CircuitBreaker(
+        CircuitBreakerConfig(failure_threshold=1),
+        listener=lifecycle.breaker_state_writer(root, "feed"),
+    )
+    br.record_failure()  # closed -> open, listener persists it
+    assert cli.main(["status", "--table-root", root, "--health"]) == 1
+    h = json.loads(capsys.readouterr().out)
+    assert any(c["name"] == "circuit_breaker" and not c["ok"] for c in h["checks"])
+    # recovery persists too and restores health
+    br.state = "half_open"
+    br.record_success()  # -> closed, listener persists
+    assert cli.main(["status", "--table-root", root, "--health"]) == 0
+    capsys.readouterr()
+
+    # stale checkpoint: feed newer than checkpoint commits -> unhealthy
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(os.path.join(ckpt, "commits"))
+    old = time.time() - 7200
+    c0 = os.path.join(ckpt, "commits", "0")
+    open(c0, "w").write("{}")
+    os.utime(c0, (old, old))
+    args = ["status", "--table-root", root, "--health",
+            "--feed-dir", feed, "--checkpoint-dir", ckpt]
+    assert cli.main(args) == 1
+    h = json.loads(capsys.readouterr().out)
+    assert any(
+        c["name"] == "checkpoint_freshness" and not c["ok"] for c in h["checks"]
+    )
+    # caught-up checkpoint -> healthy again
+    os.utime(c0, None)
+    assert cli.main(args) == 0
+    capsys.readouterr()
+
+    # torn metadata (hint points at a missing snapshot) -> unhealthy
+    from replicator_spark import commitlog as cl
+
+    hint = os.path.join(cl.meta_dir(root), "version-hint.text")
+    saved = open(hint).read()
+    cl._atomic_write(hint, "9999")
+    assert cli.main(["status", "--table-root", root, "--health"]) == 1
+    h = json.loads(capsys.readouterr().out)
+    assert any(c["name"] == "snapshot" and not c["ok"] for c in h["checks"])
+    cl._atomic_write(hint, saved)
+
+    # pluggable checkers: one failing extra check flips the verdict
+    h = lifecycle.health(root, extra_checks=(("custom", lambda: (False, "nope")),))
+    assert not h["healthy"]
+    assert any(c["name"] == "custom" and not c["ok"] for c in h["checks"])
+    h = lifecycle.health(root, extra_checks=(("custom", lambda: (True, "fine")),))
+    assert h["healthy"]
+
+
+def test_metrics_roll_same_millisecond_no_overwrite(tmp_path, monkeypatch):
+    """ADVICE r03: two segment rolls in the same millisecond must not
+    silently overwrite a rolled segment."""
+    import os
+
+    from replicator_spark import metrics as m
+
+    monkeypatch.setattr(m, "ROLL_BYTES", 1)  # every append rolls
+    monkeypatch.setattr(m.time, "time", lambda: 1234.0)  # frozen clock
+    root = str(tmp_path / "t")
+    for i in range(3):
+        m.append_metrics(root, {"batch_key": f"b{i}"})
+    d = os.path.join(root, "_metrics")
+    segs = sorted(n for n in os.listdir(d) if n.startswith("log-"))
+    assert len(segs) == 3, segs  # one segment per roll, none lost
+    rows = list(m._iter_rows(d))
+    assert {r["batch_key"] for r in rows} == {"b0", "b1", "b2"}

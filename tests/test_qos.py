@@ -231,3 +231,128 @@ def test_abort_check_breaks_open_wait():
         call_with_qos(lambda: "ok", breaker=br, abort_check=paused,
                       sleep=lambda s: None)
     assert polls["n"] == 3
+
+
+def test_half_open_requires_n_probe_successes():
+    """ADVICE r03: half_open_requests = number of successful probes
+    required to close, not merely a concurrency cap."""
+    clock = FakeClock()
+    br = CircuitBreaker(
+        CircuitBreakerConfig(
+            failure_threshold=1, recovery_timeout_s=1, half_open_requests=3
+        ),
+        clock=clock,
+    )
+    br.record_failure()
+    clock.t = 2
+    for i in range(2):
+        assert br.allows()
+        br.half_open_inflight += 1
+        br.record_success()
+        assert br.state == "half_open", f"closed after only {i + 1} probes"
+    assert br.allows()
+    br.half_open_inflight += 1
+    br.record_success()
+    assert br.state == "closed"
+
+
+def test_no_double_delay_when_breaker_just_opened():
+    """ADVICE r03: a failure that opens the breaker must not ALSO pay
+    the retry backoff sleep — the open-circuit wait already delays."""
+    clock = FakeClock()
+    br = CircuitBreaker(
+        CircuitBreakerConfig(failure_threshold=1, recovery_timeout_s=5), clock=clock
+    )
+    sleeps = []
+
+    def advance(s):
+        sleeps.append(s)
+        clock.t += s
+
+    calls = {"n": 0}
+
+    def once_bad():
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("boom")
+        return "ok"
+
+    out = call_with_qos(
+        once_bad,
+        retry=RetryPolicy(max_retries=2, initial_delay_s=100.0),
+        breaker=br,
+        sleep=advance,
+    )
+    assert out == "ok"
+    # only the open-circuit poll sleeps (≤1s each) — never the 100s backoff
+    assert all(s <= 1.0 for s in sleeps), sleeps
+    assert sum(sleeps) >= 5.0  # the recovery wait did happen
+
+
+def test_breaker_listener_sees_every_transition():
+    clock = FakeClock()
+    seen = []
+    br = CircuitBreaker(
+        CircuitBreakerConfig(
+            failure_threshold=1, recovery_timeout_s=1, half_open_requests=1
+        ),
+        clock=clock,
+        listener=lambda b: seen.append(b.state),
+    )
+    br.record_failure()          # closed -> open
+    clock.t = 2
+    assert br.allows()           # open -> half_open
+    br.half_open_inflight += 1
+    br.record_failure()          # half_open -> open
+    clock.t = 4
+    assert br.allows()
+    br.half_open_inflight += 1
+    br.record_success()          # half_open -> closed
+    assert seen == ["open", "half_open", "open", "half_open", "closed"]
+
+
+def test_breaker_listener_errors_never_break_apply():
+    def bad_listener(b):
+        raise RuntimeError("observability down")
+
+    br = CircuitBreaker(
+        CircuitBreakerConfig(failure_threshold=1), listener=bad_listener
+    )
+    br.record_failure()  # must not raise
+    assert br.state == "open"
+
+
+def test_await_stream_pause_initiated_circuit_open_is_clean_stop(tmp_path):
+    """ADVICE r03: pausing a stream while its breaker is in the
+    open-circuit wait fails the StreamingQuery with CircuitOpen;
+    await_stream must swallow that (the operator asked for a pause) but
+    re-raise any other failure, and re-raise CircuitOpen when NOT
+    paused."""
+    import pytest
+    from pyspark.errors import StreamingQueryException
+
+    from replicator_spark import lifecycle
+    from replicator_spark.streaming import await_stream
+
+    root = str(tmp_path / "t")
+
+    class FakeQ:
+        def __init__(self, msg):
+            self.msg = msg
+
+        def awaitTermination(self):
+            raise StreamingQueryException(
+                self.msg, errorClass="STREAM_FAILED", messageParameters={}
+            )
+
+    msg = "Query terminated: CircuitOpen: circuit open since 12.0"
+    lifecycle.pause(root, "s1")
+    await_stream(FakeQ(msg), root, "s1")  # clean stop, no raise
+
+    lifecycle.resume(root, "s1")
+    with pytest.raises(StreamingQueryException):
+        await_stream(FakeQ(msg), root, "s1")  # not paused -> real failure
+
+    lifecycle.pause(root, "s1")
+    with pytest.raises(StreamingQueryException):
+        await_stream(FakeQ("Query terminated: OutOfMemoryError"), root, "s1")
