@@ -56,6 +56,7 @@ def run_stream(
     transform_engine=None,
     ledger_keep: int | None = 1024,
     qos=None,
+    processing_time: str = "5 seconds",
 ):
     """Start the CDC streaming query; returns the StreamingQuery.
 
@@ -83,6 +84,13 @@ def run_stream(
         from . import lifecycle as _lc
 
         qos.breaker.listener = _lc.breaker_state_writer(table.root, stream_name)
+        try:
+            # startup write: a fresh query's (closed) breaker supersedes
+            # the marker a previous run left behind — e.g. "open" from a
+            # pause-during-recovery stop — so health reflects THIS run
+            qos.breaker.listener(qos.breaker)
+        except Exception:  # noqa: BLE001 — observability must not fail startup
+            pass
 
     def _apply(batch_df, batch_id: int):
         def _one():
@@ -123,7 +131,7 @@ def run_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     else:
-        writer = writer.trigger(processingTime="5 seconds")
+        writer = writer.trigger(processingTime=processing_time)
     return writer.start()
 
 

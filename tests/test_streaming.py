@@ -306,3 +306,171 @@ def test_type_conflict_mid_stream(spark, tmp_path):
     assert live.where("stars IS NULL").count() == 0
     assert live.where("stars = 's4'").count() > 0
     assert live.where("stars = '4'").count() > 0
+
+
+def test_live_trigger_soak_pause_breaker_and_concurrent_consumer(
+    spark, tmp_path, monkeypatch
+):
+    """VERDICT r03 #8 (live-trigger soak): a processingTime stream over a
+    GROWING feed, with a concurrent read_changes consumer, a transient
+    sink outage that opens the circuit breaker and recovers, a pause
+    issued DURING a later open-circuit window (clean stop, not a crash),
+    and a resume that re-delivers the failed batch. The consumer must
+    converge bit-identical to the table; no duplicate or lost applies
+    across the pause + breaker windows.
+
+    The feed is SEQ-RANGED per batch (a live tail delivers the log in
+    order — gen_changes' hash-assigned batches model replay-time
+    shuffling instead): read_changes' seq-watermark consumer protocol
+    assumes reordering bounded by a window (laketable.read_changes
+    caveat 1), and a live-trigger consumer polling mid-stream is exactly
+    the case that contract exists for."""
+    import math
+    import time
+
+    from replicator_spark import lifecycle
+    from replicator_spark import streaming as sm
+    from replicator_spark.qos import (
+        CircuitBreaker,
+        CircuitBreakerConfig,
+        QoS,
+        RetryPolicy,
+    )
+    from replicator_spark.streaming import await_stream
+
+    all_changes = gen_changes(spark, 1500, n_repos=6, n_batches=6)
+    span = math.ceil(
+        (all_changes.agg(F.max("seq")).first()[0] + 1) / 6
+    )
+    all_changes = all_changes.withColumn(
+        "batch_id", (F.col("seq") / span).cast("int")
+    ).cache()
+    feed = str(tmp_path / "feed")
+
+    def push(b):
+        all_changes.where(F.col("batch_id") == b).coalesce(1).write.mode(
+            "append"
+        ).parquet(feed)
+        time.sleep(0.1)  # distinct mtimes -> deterministic file order
+
+    root, ckpt = str(tmp_path / "t"), str(tmp_path / "ckpt")
+    table = LakeTable(spark, root)
+    table.create(REPOS_SCHEMA, num_buckets=4)
+
+    # induced sink outages, keyed by ledger batch key; -1 = until cleared
+    fails = {"live-1": 2}
+    orig_apply = sm.apply_batch
+
+    def flaky(tbl, df, batch_key=None, **kw):
+        n = fails.get(batch_key, 0)
+        if n != 0:
+            if n > 0:
+                fails[batch_key] = n - 1
+            raise RuntimeError(f"induced outage for {batch_key}")
+        return orig_apply(tbl, df, batch_key=batch_key, **kw)
+
+    monkeypatch.setattr(sm, "apply_batch", flaky)
+
+    def mk_qos():
+        return QoS(
+            retry=RetryPolicy(max_retries=8, initial_delay_s=0.1, max_delay_s=0.5),
+            breaker=CircuitBreaker(
+                CircuitBreakerConfig(
+                    failure_threshold=1, recovery_timeout_s=2.0, half_open_requests=1
+                )
+            ),
+        )
+
+    def start():
+        return run_stream(
+            spark, feed, table, ckpt,
+            available_now=False, processing_time="1 second",
+            max_files_per_trigger=1, stream_name="live", mode="mor",
+            qos=mk_qos(),
+        )
+
+    # concurrent consumer: fold read_changes into its own LWW state
+    state, wm = {}, [-1]  # -1: read_changes floor is EXCLUSIVE; seq starts at 0
+
+    def consume():
+        if table._snap().version == 0:
+            return
+        for r in table.read_changes(since_seq=wm[0]).collect():
+            k = (r["repo"], r["path"], r["commit"])
+            cur = state.get(k)
+            if cur is None or r["_last_seq"] > cur[0]:
+                state[k] = (r["_last_seq"], r["_deleted"], r["content"])
+            wm[0] = max(wm[0], r["_last_seq"])
+
+    def wait_for(pred, timeout=120.0, what=""):
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            if pred():
+                return
+            consume()
+            time.sleep(0.3)
+        raise AssertionError(f"timeout waiting for {what}")
+
+    for b in (0, 1, 2):
+        push(b)
+    q = start()
+    try:
+        # phase 1: live batches apply; live-1 hits the transient outage,
+        # the breaker opens, recovery passes, the batch lands anyway
+        wait_for(
+            lambda: table.is_committed("live-2") is not None,
+            what="live-0..2 applied through the transient breaker window",
+        )
+        assert fails["live-1"] == 0  # the outage really happened
+        # the open->...->closed transitions were persisted for health
+        assert lifecycle.breaker_states(root)["live"]["state"] == "closed"
+
+        # phase 2: persistent outage on live-3; pause lands DURING the
+        # open-circuit wait -> clean stop (no crash), batch NOT in WAL
+        fails["live-3"] = -1
+        push(3)
+        wait_for(
+            lambda: lifecycle.breaker_states(root)["live"].get("state") == "open",
+            what="breaker open on live-3",
+        )
+        lifecycle.pause(root, "live")
+        await_stream(q, root, "live")  # swallows the pause-initiated abort
+        assert not q.isActive
+    finally:
+        if q.isActive:
+            q.stop()
+    assert table.is_committed("live-3") is None  # failed batch not applied
+
+    # phase 3: outage over, resume; restart re-delivers live-3 from the
+    # WAL, then the feed keeps growing
+    fails.pop("live-3")
+    lifecycle.resume(root, "live")
+    q = start()
+    try:
+        wait_for(
+            lambda: table.is_committed("live-3") is not None,
+            what="live-3 re-delivered after resume",
+        )
+        push(4)
+        push(5)
+        wait_for(
+            lambda: table.is_committed("live-5") is not None,
+            what="all six batches applied",
+        )
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+    # convergence: table == oracle over every pushed event
+    assert _table_sha(table) == content_sha(_oracle_state(spark, feed))
+    # exactly-once: one live row per key
+    live = table.read()
+    assert live.count() == live.select("repo", "path", "commit").distinct().count()
+    # consumer converges bit-identical to the table
+    consume()
+    got = {k: v[2] for k, v in state.items() if not v[1]}
+    want = {(r["repo"], r["path"], r["commit"]): r["content"] for r in live.collect()}
+    assert got == want
+    # and the job is healthy again end-to-end
+    h = lifecycle.health(root, feed_dir=feed, checkpoint_dir=ckpt, freshness_s=3600)
+    assert h["healthy"], h
