@@ -1370,6 +1370,117 @@ FROM per_doc
 """
 
 
+def q_doc_chunking(spark, sf_dir):
+    """Fixed-size token-window chunking with overlap (context-window
+    preparation / long-doc RAG indexing) — pure JVM sequence→transform→
+    explode, no shuffle, one narrow pass at any corpus size."""
+    from replicator_spark.ops.text import chunk_documents
+
+    return chunk_documents(
+        _load(spark, sf_dir, "documents"), max_tokens=64, overlap=8
+    )
+
+
+SQL_doc_chunking = r"""
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents
+),
+sized AS (SELECT doc_id, toks, len(toks) AS n FROM d),
+ch AS (
+  SELECT doc_id,
+         unnest([{'k': k,
+                  'nt': least(n - k*56, 64),
+                  'ct': array_to_string(toks[k*56+1 : k*56+64], ' ')}
+                 for k in range(0, greatest(CAST(ceil((n - 8) / 56.0) AS INT), 1))]) AS u
+  FROM sized
+)
+SELECT doc_id, CAST(u.k AS INT) AS chunk_idx, CAST(u.nt AS INT) AS n_tokens,
+       u.ct AS chunk_text
+FROM ch
+"""
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Greedy next-fit sequence packing into 256-token training
+    contexts, per shard (doc_id % 8) in ascending id order — the final
+    data-prep stage of an LLM pipeline. Arrow applyInPandas per shard
+    (packing is sequential within a shard BY DESIGN; shards are the
+    parallelism). Oracle: a recursive CTE walking each shard in id
+    order — deterministic, so hash-equality proves the packing
+    byte-for-byte."""
+    from replicator_spark.ops.pack import pack_greedy
+
+    return pack_greedy(
+        _load(spark, sf_dir, "documents"), max_tokens=256, n_shards=8
+    )
+
+
+SQL_pack_sequences = r"""
+WITH RECURSIVE d AS (
+  SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n,
+         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS INT) AS rn
+  FROM documents
+),
+pack(shard, rn, doc_id, n, bin_id, fill) AS (
+  SELECT shard, rn, doc_id, n, 0, n FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.shard, d.rn, d.doc_id, d.n,
+         CASE WHEN p.fill + d.n > 256 THEN p.bin_id + 1 ELSE p.bin_id END,
+         CASE WHEN p.fill + d.n > 256 THEN d.n ELSE p.fill + d.n END
+  FROM pack p JOIN d ON d.shard = p.shard AND d.rn = p.rn + 1
+)
+SELECT doc_id, shard, CAST(bin_id AS INT) AS bin_id, n AS n_tokens FROM pack
+"""
+
+
+def q_sessionize_events(spark, sf_dir):
+    """Gap-based sessionization of the events stream (30-min cut) with
+    per-session rollups — lag + running-sum window pair, one shuffle on
+    user_id, whole-stage codegen throughout. The value sum goes through
+    DECIMAL so partial-aggregation order cannot flip the rounding."""
+    from replicator_spark.ops.sessions import sessionize
+
+    ev = _load(spark, sf_dir, "events")
+    s = sessionize(ev, gap_s=1800)
+    return s.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_value"),
+    )
+
+
+SQL_sessionize_events = """
+WITH s AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR CAST(floor(epoch(ts)) AS BIGINT)
+                      - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s2 AS (
+  SELECT user_id, ts, value,
+         CAST(SUM(brk) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS INT)
+           AS session_idx
+  FROM s
+)
+SELECT user_id, session_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       MIN(ts) AS session_start,
+       MAX(ts) AS session_end,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM s2 GROUP BY 1, 2
+"""
+
+
 def q_knn_bruteforce(spark, sf_dir):
     """Brute-force cosine top-3 neighbors for query vectors 0-4
     (similarity-search baseline; JVM-side F.zip_with/F.aggregate)."""
@@ -2081,6 +2192,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dedup_end2end": q_embedding_dedup_end2end,
         "decontaminate": q_decontaminate,
         "repetition_filter": q_repetition_filter,
+        "doc_chunking": q_doc_chunking,
+        "pack_sequences": q_pack_sequences,
+        "sessionize_events": q_sessionize_events,
         "simhash_dedup": q_simhash_dedup,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
@@ -2146,4 +2260,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_dedup": SQL_simhash_dedup,
         "ann_lsh": SQL_ann_lsh,
         "ann_ivf": SQL_ann_ivf,
+        "doc_chunking": SQL_doc_chunking,
+        "pack_sequences": SQL_pack_sequences,
+        "sessionize_events": SQL_sessionize_events,
     }

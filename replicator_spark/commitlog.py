@@ -360,7 +360,10 @@ def commit_snapshot(root: str, snap: Snapshot) -> None:
         # between its snapshot write and hint swap. Only replace dead
         # leftovers; a fresh file still raises (the concurrent winner
         # finishes its hint swap, the loser re-runs).
-        age = time.time() - os.path.getmtime(path)
+        try:
+            age = time.time() - os.path.getmtime(path)
+        except OSError:  # vanished under us (e.g. expire GC'd it): be
+            age = 0.0  # conservative — raise; the caller's retry wins
         if age < DANGLING_COMMIT_GRACE_S:
             raise
         _atomic_write(path, payload)

@@ -314,3 +314,53 @@ def repetition_stats(
         dcf.alias("dup_char_frac"),
         ((dlf <= max_dup_line_frac) & (dcf <= max_dup_char_frac)).alias("keep"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    max_tokens: int = 64,
+    overlap: int = 8,
+) -> DataFrame:
+    """Split long documents into fixed-size token windows with overlap —
+    the standard pre-tokenization chunking step of an LLM training
+    pipeline (context-window preparation, long-doc RAG indexing).
+
+    Whitespace tokens; window k covers tokens [k·stride, k·stride +
+    max_tokens) with stride = max_tokens − overlap. Pure JVM column
+    expressions (sequence → transform → explode): one narrow pass, no
+    shuffle, embarrassingly parallel at any corpus size — the chunk
+    explosion multiplies rows ~len/stride, which is the point.
+
+    Returns (id, chunk_idx, n_tokens, chunk_text). Deterministic, so
+    exactly reproducible in ANSI SQL for the oracle gate.
+    """
+    if overlap >= max_tokens:
+        raise ValueError(f"overlap {overlap} must be < max_tokens {max_tokens}")
+    stride = max_tokens - overlap
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    # number of windows: ceil((n - overlap) / stride), min 1
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(overlap)) / F.lit(stride)).cast("int"), F.lit(1)
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda k: F.struct(
+            k.cast("int").alias("chunk_idx"),
+            F.least(n - k * stride, F.lit(max_tokens)).alias("n_tokens"),
+            F.array_join(
+                F.slice(toks, k * stride + 1, max_tokens), " "
+            ).alias("chunk_text"),
+        ),
+    )
+    return df.select(
+        F.col(id_col), F.explode(chunks).alias("c")
+    ).select(
+        id_col,
+        F.col("c.chunk_idx").alias("chunk_idx"),
+        F.col("c.n_tokens").alias("n_tokens"),
+        F.col("c.chunk_text").alias("chunk_text"),
+    )

@@ -72,6 +72,7 @@ def test_no_python_eval_in_cdc_queries(spark):
         "decimal_generated_column", "source_cosmos_normalize",
         "boilerplate_lines", "dataset_split", "pii_redaction",
         "dedup_clusters", "decontaminate", "repetition_filter",
+        "doc_chunking", "sessionize_events",
     ]
     qs = entry.queries()
     for name in jvm_only:
@@ -85,6 +86,11 @@ def test_no_python_eval_in_cdc_queries(spark):
         plan = _plan(qs[name](spark, SF))
         assert "BatchEvalPython" not in plan, name
         assert "ArrowEvalPython" in plan, name
+    # grouped-Arrow operators (applyInPandas) — FlatMapGroupsInPandas,
+    # still never row-at-a-time pickling
+    plan = _plan(qs["pack_sequences"](spark, SF))
+    assert "FlatMapGroupsInPandas" in plan
+    assert "BatchEvalPython" not in plan
 
 
 def test_cosmos_high_water_pushed_to_scan(spark, tmp_path):
