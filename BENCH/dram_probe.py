@@ -6,9 +6,13 @@ worker processes each repeatedly memcpy a 256 MB numpy buffer; the
 aggregate bytes/s at 1 vs 4 workers bounds any memory-bound software's
 1→4 efficiency on this box in this time window.
 
-r3 measured this ad hoc (BENCH/machine_ceiling_r3.json,
-dram_bandwidth_1_to_4 = 0.769 vs engine 0.744 = 97% of ceiling); this
-script makes the probe repeatable per round.
+Protocol hardening (review r4 #9 — the first cut timed Popen-to-exit,
+so interpreter+numpy startup, first-touch page faults, and a cold
+first rep polluted the numbers into incoherence): each worker
+allocates and WARMS its buffers, reports "ready", blocks on a stdin
+barrier, then times ONLY the copy loop; the parent releases all
+workers at once and aggregates bytes over the overlapped window
+(sum of bytes / max of per-worker elapsed).
 
 Usage: python BENCH/dram_probe.py [N [reps]]   (default 1→4, 3 reps)
 Prints one JSON line.
@@ -24,6 +28,7 @@ import time
 
 BUF_MB = 256
 PASSES = 40  # ~10 GB copied per worker per run
+WARMUP_PASSES = 3
 
 
 def _worker() -> None:
@@ -31,28 +36,41 @@ def _worker() -> None:
 
     src = np.ones(BUF_MB << 20, dtype=np.uint8)
     dst = np.empty_like(src)
+    for _ in range(WARMUP_PASSES):  # fault in both buffers, warm caches
+        np.copyto(dst, src)
+    sys.stdout.write("ready\n")
+    sys.stdout.flush()
+    sys.stdin.readline()  # barrier: wait for the parent's go
+    t0 = time.time()
     for _ in range(PASSES):
         np.copyto(dst, src)
-    sys.stdout.write(str(int(dst[0])))
+    dt = time.time() - t0
+    sys.stdout.write(f"{dt}\n")
+    sys.stdout.flush()
 
 
 def run_level(n: int) -> float:
-    """Aggregate copy throughput (GB/s) with n taskset-pinned procs."""
-    procs = []
-    t0 = time.time()
-    for i in range(n):
-        procs.append(
-            subprocess.Popen(
-                ["taskset", "-c", str(i), sys.executable, __file__, "--worker"],
-                stdout=subprocess.DEVNULL,
-            )
+    """Aggregate copy throughput (GB/s) with n taskset-pinned procs,
+    timed over the overlapped copy window only."""
+    procs = [
+        subprocess.Popen(
+            ["taskset", "-c", str(i), sys.executable, __file__, "--worker"],
+            stdin=subprocess.PIPE,
+            stdout=subprocess.PIPE,
+            text=True,
         )
+        for i in range(n)
+    ]
+    for p in procs:
+        assert p.stdout.readline().strip() == "ready"
+    for p in procs:  # release the barrier everywhere at once
+        p.stdin.write("go\n")
+        p.stdin.flush()
+    elapsed = [float(p.stdout.readline()) for p in procs]
     for p in procs:
         p.wait()
-    dt = time.time() - t0
-    # memcpy reads + writes: count both directions, the convention the
-    # r3 ad-hoc probe used
-    return n * PASSES * BUF_MB * 2 / 1024 / dt
+    # memcpy reads + writes: count both directions (the r3 convention)
+    return n * PASSES * BUF_MB * 2 / 1024 / max(elapsed)
 
 
 def main() -> None:
@@ -61,6 +79,7 @@ def main() -> None:
         return
     n_hi = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    run_level(1)  # throwaway: fault in the page-cache/allocator path
     lo, hi = [], []
     for _ in range(reps):
         lo.append(round(run_level(1), 1))

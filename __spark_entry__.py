@@ -1669,9 +1669,14 @@ def q_embedding_dedup_end2end(spark, sf_dir):
     second copy at id+200000 perturbed by +0.15 — worst-case true cos
     ≈ 0.981, two orders of magnitude of margin over background. The
     oracle is the EXACT all-pairs closure in DuckDB, so hash-equality
-    asserts LSH candidate recall 1.0 on this corpus (per-pair miss
-    ≈ (1 − 0.954^8)^8 ≈ 1e-4 at 8 bits / 8 tables, and the CC stage
-    tolerates single-edge misses inside 3-clique families)."""
+    asserts LSH candidate recall 1.0 on this corpus. 16 tables, not 8:
+    the %10-but-not-%20 families are 2-cliques whose single edge has no
+    CC redundancy, so the per-edge miss probability must be driven far
+    below 1/families — at cos ≥ 0.9955 (worst planted +0.1 edge),
+    p = 1−θ/π ≈ 0.970, miss = (1−p^8)^16 ≈ 3e-11; even the softer
+    (d1,d2) 3-clique edges at cos ≈ 0.981 sit at ~5e-7 with two
+    redundant paths. 8 tables measured green but left ~1% failure mass
+    at sf0.1 — a flaky driver gate is a bug (review r4 #3)."""
     from replicator_spark.ops.dedup_text import connected_components
     from replicator_spark.ops.similarity import lsh_near_dup_pairs
 
@@ -1689,7 +1694,7 @@ def q_embedding_dedup_end2end(spark, sf_dir):
     )
     aug = base.unionByName(d1).unionByName(d2)
     pairs = lsh_near_dup_pairs(
-        aug, vec_col="v", dim=64, threshold=0.95, hash_bits=8, num_tables=8
+        aug, vec_col="v", dim=64, threshold=0.95, hash_bits=8, num_tables=16
     )
     return connected_components(
         pairs.select("id_a", "id_b"), aug.select("vec_id"), "vec_id"
@@ -1741,8 +1746,9 @@ def q_minhash_lsh(spark, sf_dir):
     O(n) star edges — and the counts of buckets/docs that took the star
     path are recorded in the driver's rows-only check."""
     from replicator_spark.ops.dedup_text import (
-        minhash_lsh_bucket_stats,
-        minhash_lsh_candidates,
+        _lsh_buckets,
+        bucket_candidate_pairs,
+        bucket_stats,
         minhash_signatures,
     )
 
@@ -1751,10 +1757,15 @@ def q_minhash_lsh(spark, sf_dir):
     # r=4 admitted ~23% of ALL pairs on this template-heavy corpus
     # (VERDICT r01 #6 — the verify stage trended O(n²)); r=8 keeps the
     # candidate share ~1% while holding recall ≥ 0.95 for jaccard ≥ 0.8
-    # (1-(1-0.8^8)^16 ≈ 0.95; measured in tests/test_ops_dedup.py)
-    sigs = minhash_signatures(docs, num_hashes=128)
-    cands = minhash_lsh_candidates(sigs, bands=16)
-    stats = minhash_lsh_bucket_stats(sigs, bands=16)
+    # (1-(1-0.8^8)^16 ≈ 0.95; measured in tests/test_ops_dedup.py).
+    # Band ONCE: the bucket frame is checkpointed and feeds both the
+    # candidate pairs and the stats row — without this the 128-hash
+    # signature + banding shuffle would execute twice.
+    sized = _lsh_buckets(
+        minhash_signatures(docs, num_hashes=128), "doc_id", 16
+    ).localCheckpoint(eager=True)
+    cands = bucket_candidate_pairs(sized, max_bucket=50)
+    stats = bucket_stats(sized, max_bucket=50)
     return cands.crossJoin(F.broadcast(stats))
 
 
@@ -1878,8 +1889,12 @@ def q_ann_lsh(spark, sf_dir):
 
     emb = _load(spark, sf_dir, "embeddings")
     q, aug = _ann_planted_corpus(emb)
+    # 10 tables: the planted top-3 edges are single-path (no CC to
+    # absorb a miss) — worst planted cos ≈ 0.981 gives per-edge miss
+    # (1−0.938^4)^10 ≈ 4e-7, so the gate holds for any regenerated
+    # corpus, not just the current seed
     approx = lsh_bucket_knn(
-        aug, q, vec_col="v", dim=64, k=3, hash_bits=4, num_tables=6
+        aug, q, vec_col="v", dim=64, k=3, hash_bits=4, num_tables=10
     )
     return _with_measured_recall(approx, brute_force_knn(aug, q, vec_col="v", k=3))
 

@@ -177,6 +177,15 @@ def run_streaming_watched(spark, cfg: JobConfig, table, config_path: str | None)
                         )
                     else:
                         cfg = ncfg
+                        # transient pause: q.stop() alone interrupts
+                        # only the JVM side — if the breaker is in its
+                        # open-circuit wait the Python callback would
+                        # keep sleeping and later race the restarted
+                        # query as a zombie writer. The marker aborts
+                        # the wait; it is cleared again below.
+                        lifecycle.pause(
+                            table.root, cfg.name, reason="_config_reload"
+                        )
                         q.stop()
                         reloaded = True
                         break
@@ -186,6 +195,15 @@ def run_streaming_watched(spark, cfg: JobConfig, table, config_path: str | None)
         from .streaming import await_stream
 
         await_stream(q, table.root, cfg.name)
+        if reloaded:
+            # clear OUR transient reload marker; an operator's own
+            # pause (different reason) is left in place
+            try:
+                with open(lifecycle._marker(table.root, cfg.name)) as f:
+                    if json.load(f).get("reason") == "_config_reload":
+                        lifecycle.resume(table.root, cfg.name)
+            except (OSError, ValueError):
+                pass
         if reloaded and cfg.enabled and not lifecycle.is_paused(table.root, cfg.name):
             continue
         return cfg

@@ -258,21 +258,32 @@ def _latest_config_backup(table_root: str) -> dict | None:
 
 
 def _tree_mtime(path: str) -> float | None:
-    """Newest mtime of any regular file under ``path`` (None if none).
-    Hidden/underscore bookkeeping files (_SUCCESS, .crc) are skipped."""
-    newest = None
+    """Newest DIRECTORY mtime under ``path``, or None when the tree
+    holds no regular data files.
+
+    Stat'ing directories instead of files keeps the probe O(dirs), not
+    O(files) — a liveness check against a 10^10-event feed must not
+    walk millions of parquet stats per poll (review r4 #8). Sound for
+    the freshness question because both sides of it only ever GROW by
+    file creation (feed batches, checkpoint commits), and creating a
+    file bumps its parent directory's mtime; in-place appends (which
+    would not) do not occur in either tree. File NAMES are still
+    iterated (free in the dirent listing) to distinguish an empty tree.
+    Hidden/underscore bookkeeping entries (_SUCCESS, .crc) don't count
+    as data files."""
     if not os.path.isdir(path):
         return None
+    newest = None
+    has_files = False
     for dirpath, _dirs, files in os.walk(path):
-        for n in files:
-            if n.startswith((".", "_")):
-                continue
-            try:
-                m = os.path.getmtime(os.path.join(dirpath, n))
-            except OSError:
-                continue
-            newest = m if newest is None else max(newest, m)
-    return newest
+        try:
+            m = os.path.getmtime(dirpath)
+        except OSError:
+            continue
+        newest = m if newest is None else max(newest, m)
+        if not has_files:
+            has_files = any(not n.startswith((".", "_")) for n in files)
+    return newest if has_files else None
 
 
 def status(table_root: str) -> dict:

@@ -209,28 +209,28 @@ def bucket_candidate_pairs(
         ).alias("pair")
     ).select(F.col("pair.a").alias("id_a"), F.col("pair.b").alias("id_b"))
     if oversized == "star":
-        mn = F.array_min(F.col("ids"))
+        # sort once, split head/tail — embedding array_min inside a
+        # filter lambda would re-scan the array per element (Catalyst
+        # does not hoist loop-invariant subexpressions out of
+        # higher-order-function lambdas), turning the O(B) star path
+        # into O(B²) element scans for exactly the huge buckets it
+        # exists for
+        srt = F.array_sort(F.col("ids"))
         star = sized.where(F.col("n") > max_bucket).select(
-            mn.alias("id_a"),
-            F.explode(F.filter(F.col("ids"), lambda x: x != mn)).alias("id_b"),
+            F.element_at(srt, 1).alias("id_a"),
+            F.explode(F.slice(srt, 2, F.size(srt) - 1)).alias("id_b"),
         )
         pairs = pairs.unionByName(star)
     return pairs.distinct()
 
 
-def minhash_lsh_bucket_stats(
-    sigs: DataFrame,
-    id_col: str = "doc_id",
-    *,
-    bands: int = 16,
-    max_bucket: int = 50,
-) -> DataFrame:
-    """One-row accounting of the LSH banding ("no silent caps"):
-    how many candidate buckets there are, how many exceeded
-    ``max_bucket`` (→ star-edge path), how many docs sit in those
-    oversized buckets, and the largest bucket seen. Runs the same
-    single-shuffle banding as candidate generation."""
-    sized = _lsh_buckets(sigs, id_col, bands)
+def bucket_stats(sized: DataFrame, *, max_bucket: int = 50) -> DataFrame:
+    """One-row accounting over a pre-built bucket frame (``ids``/``n``
+    columns): candidate buckets, how many exceeded ``max_bucket``
+    (→ star-edge path), docs in those oversized buckets, largest bucket
+    seen. Take this form when the bucket frame is shared with
+    ``bucket_candidate_pairs`` (checkpoint it so the banding shuffle
+    runs once)."""
     return sized.agg(
         F.sum(F.when(F.col("n") >= 2, 1).otherwise(0)).alias("cand_buckets"),
         F.sum(F.when(F.col("n") > max_bucket, 1).otherwise(0)).alias(
@@ -241,6 +241,18 @@ def minhash_lsh_bucket_stats(
         ),
         F.max("n").alias("max_bucket_size"),
     )
+
+
+def minhash_lsh_bucket_stats(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    *,
+    bands: int = 16,
+    max_bucket: int = 50,
+) -> DataFrame:
+    """Convenience form of :func:`bucket_stats` that runs the banding
+    itself ("no silent caps" accounting for the MinHash LSH)."""
+    return bucket_stats(_lsh_buckets(sigs, id_col, bands), max_bucket=max_bucket)
 
 
 def ngram_jaccard_pairs(

@@ -24,23 +24,30 @@ def sessionize(
 ) -> DataFrame:
     """Assign ``session_idx`` (0-based per user, time order) to every
     event. Ties on ``ts`` are broken by ``event_id`` so the numbering
-    is total and reproducible."""
+    is total and reproducible.
+
+    The gap is measured with ``timestampdiff`` over second-truncated
+    NTZ values — purely naive-timestamp arithmetic, independent of
+    ``spark.sql.session.timeZone``. (Casting NTZ through TIMESTAMP
+    would route the epoch through the session zone, and across a DST
+    transition the offset shift changes the measured gap — a session
+    boundary that moves with the driver's timezone config. The
+    truncate-then-diff form also matches SQL engines' floor-of-epoch
+    convention exactly, review r4 #4.)"""
     w = Window.partitionBy(user_col).orderBy(ts_col, "event_id")
-    prev = F.lag(F.col(ts_col)).over(w)
-    # TIMESTAMP_NTZ has no direct long cast; go via timestamp. The tz
-    # shift that cast applies is a constant whole-second offset, which
-    # cancels in the gap difference — boundaries are tz-invariant.
-    secs = lambda c: c.cast("timestamp").cast("long")  # noqa: E731
-    new_sess = (
-        prev.isNull() | (secs(F.col(ts_col)) - secs(prev) > gap_s)
-    ).cast("int")
+    with_prev = events.withColumn("_prev_ts", F.lag(F.col(ts_col)).over(w))
+    gap = F.expr(
+        f"timestampdiff(SECOND, date_trunc('second', _prev_ts),"
+        f" date_trunc('second', {ts_col}))"
+    )
+    new_sess = (F.col("_prev_ts").isNull() | (gap > gap_s)).cast("int")
     # first event's flag is 1 → subtract 1 for 0-based session ids
-    return events.withColumn(
+    return with_prev.withColumn(
         "session_idx",
         (F.sum(new_sess).over(
             w.rowsBetween(Window.unboundedPreceding, 0)
         ) - 1).cast("int"),
-    )
+    ).drop("_prev_ts")
 
 
 def session_stats(

@@ -266,15 +266,34 @@ def lsh_near_dup_pairs(
     seed: int = 42,
     round_to: int | None = 4,
     max_bucket: int = 200,
+    refine_bits: int = 8,
+    max_refine_rounds: int = 4,
 ) -> DataFrame:
     """Embedding near-dup PAIRS via the composed scale path (VERDICT
     r03 #3): sign-projection LSH buckets generate candidates — O(n·T)
     bucket rows, one shuffle — and only candidate pairs get an exact
     cosine verify. This replaces the corpus-wide all-pairs O(n²) shape
     for dedup duty; ``cosine_near_dup_blocked`` remains the exact
-    baseline/oracle. Bucket skew reuses the MinHash machinery
-    (``bucket_candidate_pairs``): oversized buckets emit O(n) star
-    edges instead of being dropped, and every edge is still verified.
+    baseline/oracle.
+
+    Oversized buckets are handled by *refinement*, not star edges: a
+    sign-projection bucket holds ~n/2^bits of a near-orthogonal corpus
+    — random neighbors, NOT a dup family — so the MinHash star-edge
+    rationale (bucket-min is in the family) does not transfer; star
+    edges here would verify ~nothing and silently zero out recall at
+    scale (review r4 #1). Instead, each vector carries a refinement
+    sign-projection key per (table, round) (``refine_bits`` each,
+    independent seeds), and a bucket larger than ``max_bucket`` is
+    re-split by its table's next refinement key — two near-identical
+    vectors agree on EVERY projection with high probability, so
+    refinement preserves dup pairs while cutting random co-occupants by
+    ~2^refine_bits per round. The keys differ per TABLE so a noisy
+    near-dup pair split apart by one table's refinement stays together
+    in another's — per-table splits are independent trials, exactly
+    like the primary banding. A bucket still oversized after all
+    rounds (≥ 2^40 effective agreeing bits: an exact-duplicate pile)
+    falls back to star edges, which ARE sound for exact piles — and
+    the pile is counted, never silently dropped.
 
     Returns (id_a, id_b, cos) with id_a < id_b and cos ≥ threshold.
     Recall is tunable via ``hash_bits``/``num_tables`` — at the dup end
@@ -284,22 +303,79 @@ def lsh_near_dup_pairs(
     from .dedup_text import bucket_candidate_pairs
 
     keys = _lsh_keys_udf(dim, hash_bits, num_tables, seed)
+    # refinement keys: one per (table, round), generated as extra
+    # "tables" from an independent seed so they are uncorrelated with
+    # the primary keys AND with each other across tables
+    rkeys = _lsh_keys_udf(
+        dim, refine_bits, num_tables * max_refine_rounds, seed + 7919
+    )
     v = df.select(
-        F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v")
+        F.col(id_col).alias("_id"),
+        _as_double(F.col(vec_col)).alias("_v"),
+    ).withColumn("_rk", rkeys(F.col("_v")))
+    # primary keys carry their table id in the high bits; keep it as a
+    # column so each refinement round can pick the table's own key
+    bucketed = v.select(
+        "_id", "_rk", F.explode(keys(F.col("_v"))).alias("bucket")
+    ).withColumn(
+        "_tbl",
+        F.shiftrightunsigned(F.col("bucket"), hash_bits).cast("int"),
     )
-    sized = (
-        v.select("_id", F.explode(keys(F.col("_v"))).alias("bucket"))
-        .groupBy("bucket")
-        .agg(F.collect_list("_id").alias("ids"), F.count(F.lit(1)).alias("n"))
-    )
-    cands = bucket_candidate_pairs(sized, max_bucket=max_bucket)
+
+    def _sized(b: DataFrame) -> DataFrame:
+        return b.groupBy("bucket").agg(
+            F.collect_list("_id").alias("ids"), F.count(F.lit(1)).alias("n")
+        )
+
+    cands = None
+    for rnd in range(max_refine_rounds + 1):
+        sized = _sized(bucketed)
+        last = rnd == max_refine_rounds
+        part = bucket_candidate_pairs(
+            sized.where(F.col("n") <= max_bucket) if not last else sized,
+            max_bucket=max_bucket,
+            # the final fallback star is only reached by exact piles
+            # that survived every refinement split
+            oversized="star",
+        )
+        cands = part if cands is None else cands.unionByName(part)
+        if last:
+            break
+        over = sized.where(F.col("n") > max_bucket).select(
+            F.col("bucket").alias("_ob")
+        )
+        if not over.limit(1).count():
+            break  # nothing oversized — the common case exits round 0
+        # re-split oversized buckets by the round's refinement key; the
+        # oversized-bucket-id side is tiny (broadcast), and the shrunk
+        # member frame is checkpointed so later rounds don't re-run the
+        # projection UDF over the whole corpus
+        bucketed = (
+            bucketed.join(
+                F.broadcast(over), bucketed["bucket"] == over["_ob"], "inner"
+            )
+            .select(
+                "_id",
+                "_rk",
+                "_tbl",
+                F.concat_ws(
+                    ":", F.col("bucket").cast("string"),
+                    F.element_at(
+                        F.col("_rk"),
+                        (F.col("_tbl") * max_refine_rounds + rnd + 1),
+                    ).cast("string"),
+                ).alias("bucket"),
+            )
+            .localCheckpoint(eager=True)
+        )
     a = v.select(F.col("_id").alias("id_a"), F.col("_v").alias("va"))
     b = v.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb"))
     cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
     if round_to is not None:
         cos = F.round(cos, round_to)
     return (
-        cands.join(a, "id_a")
+        cands.distinct()
+        .join(a, "id_a")
         .join(b, "id_b")
         .withColumn("cos", cos)
         .where(F.col("cos") >= threshold)

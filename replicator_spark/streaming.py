@@ -80,9 +80,13 @@ def run_stream(
     # persist breaker state transitions next to the table so the health
     # surface (lifecycle.health / cli status --health) can see an open
     # circuit from outside this driver process
-    if qos is not None and qos.breaker is not None and qos.breaker.listener is None:
+    if qos is not None and qos.breaker is not None:
         from . import lifecycle as _lc
 
+        # (re)bind unconditionally: run_stream owns breaker
+        # observability for its (table, stream) — a QoS object reused
+        # across streams must not keep writing the FIRST stream's
+        # marker path (review r4 #7)
         qos.breaker.listener = _lc.breaker_state_writer(table.root, stream_name)
         try:
             # startup write: a fresh query's (closed) breaker supersedes
@@ -111,8 +115,14 @@ def run_stream(
         # QoS envelope (qos.QoS): retry/backoff + circuit breaker; an
         # open breaker BLOCKS here, which in Structured Streaming is
         # backpressure — no further micro-batches start until recovery.
-        # The pause marker aborts the open-circuit wait so lifecycle
-        # pause / config reload isn't stuck for the recovery envelope.
+        # The pause marker aborts the open-circuit wait so a lifecycle
+        # pause isn't stuck for the recovery envelope; any OTHER stop
+        # that must interrupt the wait (e.g. config reload) routes
+        # through a transient pause marker for the same reason —
+        # cli.run_streaming_watched does exactly that. q.stop() alone
+        # would interrupt the JVM side while this callback keeps
+        # sleeping, leaving a zombie apply to race the restarted query
+        # (review r4 #2).
         if qos is not None:
             from . import lifecycle
 

@@ -522,13 +522,15 @@ def test_health_surface_healthy_and_unhealthy(spark, tmp_path, capsys):
     assert cli.main(["status", "--table-root", root, "--health"]) == 0
     capsys.readouterr()
 
-    # stale checkpoint: feed newer than checkpoint commits -> unhealthy
+    # stale checkpoint: feed newer than checkpoint commits -> unhealthy.
+    # Freshness stats DIRECTORY mtimes (O(dirs) probe), so staleness is
+    # simulated on the commits dir itself.
     ckpt = str(tmp_path / "ckpt")
-    os.makedirs(os.path.join(ckpt, "commits"))
+    cdir = os.path.join(ckpt, "commits")
+    os.makedirs(cdir)
+    open(os.path.join(cdir, "0"), "w").write("{}")
     old = time.time() - 7200
-    c0 = os.path.join(ckpt, "commits", "0")
-    open(c0, "w").write("{}")
-    os.utime(c0, (old, old))
+    os.utime(cdir, (old, old))
     args = ["status", "--table-root", root, "--health",
             "--feed-dir", feed, "--checkpoint-dir", ckpt]
     assert cli.main(args) == 1
@@ -537,7 +539,7 @@ def test_health_surface_healthy_and_unhealthy(spark, tmp_path, capsys):
         c["name"] == "checkpoint_freshness" and not c["ok"] for c in h["checks"]
     )
     # caught-up checkpoint -> healthy again
-    os.utime(c0, None)
+    os.utime(cdir, None)
     assert cli.main(args) == 0
     capsys.readouterr()
 

@@ -116,10 +116,30 @@ def test_lsh_near_dup_pairs_matches_exact_on_dup_structure(spark, vecs):
     assert got == exact  # same pairs, same rounded cosines
 
 
+def test_lsh_near_dup_refinement_survives_random_oversized_buckets(spark, vecs):
+    """Review r4 #1: an oversized sign-projection bucket on a
+    near-orthogonal corpus is NOT a dup family — star edges to the
+    bucket-min would verify nothing and silently lose the true pair.
+    With a cap so small every primary bucket overflows, refinement must
+    still keep the planted twin pair together and find it."""
+    from replicator_spark.ops.similarity import lsh_near_dup_pairs
+
+    df, base = vecs  # fixture plants a twin: base[1] ≈ base[0]
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_near_dup_pairs(
+            df, dim=DIM, threshold=0.98, hash_bits=2, num_tables=4,
+            max_bucket=3,
+        ).collect()
+    }
+    assert (0, 1) in got
+
+
 def test_lsh_near_dup_pairs_oversized_bucket_star_path(spark):
     """Skewed embedding corpora (one template vector repeated) must not
-    lose the family to a bucket-size cap: tiny max_bucket forces the
-    star-edge path and the family still fully connects after verify."""
+    lose the family to a bucket-size cap: tiny max_bucket forces
+    refinement down to the exact-pile star fallback and the family
+    still fully connects after verify."""
     from replicator_spark.ops.dedup_text import connected_components
     from replicator_spark.ops.similarity import lsh_near_dup_pairs
 
