@@ -1746,9 +1746,9 @@ def q_minhash_lsh(spark, sf_dir):
     O(n) star edges — and the counts of buckets/docs that took the star
     path are recorded in the driver's rows-only check."""
     from replicator_spark.ops.dedup_text import (
-        _lsh_buckets,
         bucket_candidate_pairs,
         bucket_stats,
+        lsh_band_buckets,
         minhash_signatures,
     )
 
@@ -1761,7 +1761,7 @@ def q_minhash_lsh(spark, sf_dir):
     # Band ONCE: the bucket frame is checkpointed and feeds both the
     # candidate pairs and the stats row — without this the 128-hash
     # signature + banding shuffle would execute twice.
-    sized = _lsh_buckets(
+    sized = lsh_band_buckets(
         minhash_signatures(docs, num_hashes=128), "doc_id", 16
     ).localCheckpoint(eager=True)
     cands = bucket_candidate_pairs(sized, max_bucket=50)

@@ -182,6 +182,11 @@ def minhash_lsh_candidates(
     return bucket_candidate_pairs(sized, max_bucket=max_bucket, oversized=oversized)
 
 
+# public name for callers that band once and feed the bucket frame to
+# both bucket_candidate_pairs and bucket_stats
+lsh_band_buckets = _lsh_buckets
+
+
 def bucket_candidate_pairs(
     sized: DataFrame, *, max_bucket: int = 50, oversized: str = "star"
 ) -> DataFrame:

@@ -81,11 +81,27 @@ def test_no_python_eval_in_cdc_queries(spark):
         assert "ArrowEvalPython" not in plan, name
     # Python is allowed ONLY via the Arrow-vectorized runner — never
     # row-at-a-time pickling
-    arrow_ok = ["simhash_dedup", "extjson_decode", "minhash_lsh"]
+    arrow_ok = ["simhash_dedup", "extjson_decode"]
     for name in arrow_ok:
         plan = _plan(qs[name](spark, SF))
         assert "BatchEvalPython" not in plan, name
         assert "ArrowEvalPython" in plan, name
+    # minhash_lsh's contract query checkpoints the banding (it feeds
+    # both pairs and stats from one pass), so ITS final plan is
+    # checkpoint-rooted — pin the Arrow runner on the banding plan
+    # directly instead
+    from replicator_spark.ops.dedup_text import (
+        lsh_band_buckets,
+        minhash_signatures,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(
+        lsh_band_buckets(minhash_signatures(docs, num_hashes=32), "doc_id", 16)
+    )
+    assert "ArrowEvalPython" in plan and "BatchEvalPython" not in plan
+    plan = _plan(qs["minhash_lsh"](spark, SF))
+    assert "BatchEvalPython" not in plan
     # grouped-Arrow operators (applyInPandas) — FlatMapGroupsInPandas,
     # still never row-at-a-time pickling
     plan = _plan(qs["pack_sequences"](spark, SF))
