@@ -176,13 +176,21 @@ def run_streaming_watched(spark, cfg: JobConfig, table, config_path: str | None)
                             file=sys.stderr,
                         )
                     else:
+                        # an operator pause that landed since the last
+                        # poll wins over the reload — stop without
+                        # reloading; their marker must not be
+                        # overwritten by ours (review r4 second pass #4)
+                        if lifecycle.is_paused(table.root, cfg.name):
+                            q.stop()
+                            break
                         cfg = ncfg
                         # transient pause: q.stop() alone interrupts
                         # only the JVM side — if the breaker is in its
                         # open-circuit wait the Python callback would
-                        # keep sleeping and later race the restarted
-                        # query as a zombie writer. The marker aborts
-                        # the wait; it is cleared again below.
+                        # keep sleeping; the marker aborts the wait
+                        # promptly, and the streaming generation fence
+                        # guarantees the abort even if the zombie
+                        # sleeps through the marker's whole lifetime.
                         lifecycle.pause(
                             table.root, cfg.name, reason="_config_reload"
                         )
@@ -196,14 +204,9 @@ def run_streaming_watched(spark, cfg: JobConfig, table, config_path: str | None)
 
         await_stream(q, table.root, cfg.name)
         if reloaded:
-            # clear OUR transient reload marker; an operator's own
-            # pause (different reason) is left in place
-            try:
-                with open(lifecycle._marker(table.root, cfg.name)) as f:
-                    if json.load(f).get("reason") == "_config_reload":
-                        lifecycle.resume(table.root, cfg.name)
-            except (OSError, ValueError):
-                pass
+            # atomically clear OUR transient reload marker; an
+            # operator's own pause (different reason) stays in place
+            lifecycle.resume_if_reason(table.root, cfg.name, "_config_reload")
         if reloaded and cfg.enabled and not lifecycle.is_paused(table.root, cfg.name):
             continue
         return cfg

@@ -55,6 +55,32 @@ def is_paused(table_root: str, stream: str) -> bool:
     return os.path.exists(_marker(table_root, stream))
 
 
+def resume_if_reason(table_root: str, stream: str, reason: str) -> bool:
+    """Clear the pause marker only if it carries ``reason`` — used for
+    transient engine-internal pauses (e.g. config reload) so an
+    operator's own pause is never silently discarded. Atomic against a
+    concurrent operator pause: the marker is STOLEN by rename first,
+    inspected, and put back if it turns out to be someone else's (the
+    reinstate window is micro-seconds and fails safe: the operator's
+    marker reappears)."""
+    m = _marker(table_root, stream)
+    tmp = m + ".steal"
+    try:
+        os.rename(m, tmp)
+    except FileNotFoundError:
+        return False
+    try:
+        with open(tmp) as f:
+            owner = json.load(f).get("reason") == reason
+    except (OSError, ValueError):
+        owner = False
+    if owner:
+        os.unlink(tmp)
+        return True
+    os.rename(tmp, m)  # not ours — reinstate
+    return False
+
+
 def _breaker_marker(table_root: str, stream: str) -> str:
     return os.path.join(_control_dir(table_root), f"{stream}.breaker.json")
 

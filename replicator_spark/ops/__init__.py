@@ -5,7 +5,10 @@ bucketed ANN), text analysis (lang-ID, quality, tokens, fingerprints),
 and multimodal column plumbing."""
 
 from .dedup_text import (  # noqa: F401
+    bucket_candidate_pairs,
+    bucket_stats,
     exact_dedup,
+    lsh_band_buckets,
     minhash_signatures,
     minhash_lsh_bucket_stats,
     minhash_lsh_candidates,

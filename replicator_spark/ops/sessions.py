@@ -35,19 +35,20 @@ def sessionize(
     truncate-then-diff form also matches SQL engines' floor-of-epoch
     convention exactly, review r4 #4.)"""
     w = Window.partitionBy(user_col).orderBy(ts_col, "event_id")
-    with_prev = events.withColumn("_prev_ts", F.lag(F.col(ts_col)).over(w))
-    gap = F.expr(
-        f"timestampdiff(SECOND, date_trunc('second', _prev_ts),"
-        f" date_trunc('second', {ts_col}))"
+    prev = F.lag(F.col(ts_col)).over(w)
+    gap = F.timestamp_diff(
+        "SECOND",
+        F.date_trunc("second", prev),
+        F.date_trunc("second", F.col(ts_col)),
     )
-    new_sess = (F.col("_prev_ts").isNull() | (gap > gap_s)).cast("int")
+    new_sess = (prev.isNull() | (gap > gap_s)).cast("int")
     # first event's flag is 1 → subtract 1 for 0-based session ids
-    return with_prev.withColumn(
+    return events.withColumn(
         "session_idx",
         (F.sum(new_sess).over(
             w.rowsBetween(Window.unboundedPreceding, 0)
         ) - 1).cast("int"),
-    ).drop("_prev_ts")
+    )
 
 
 def session_stats(

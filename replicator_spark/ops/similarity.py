@@ -268,6 +268,7 @@ def lsh_near_dup_pairs(
     max_bucket: int = 200,
     refine_bits: int = 8,
     max_refine_rounds: int = 4,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """Embedding near-dup PAIRS via the composed scale path (VERDICT
     r03 #3): sign-projection LSH buckets generate candidates — O(n·T)
@@ -293,7 +294,9 @@ def lsh_near_dup_pairs(
     like the primary banding. A bucket still oversized after all
     rounds (≥ 2^40 effective agreeing bits: an exact-duplicate pile)
     falls back to star edges, which ARE sound for exact piles — and
-    the pile is counted, never silently dropped.
+    the pile is counted, never silently dropped: pass ``stats_out``
+    (a dict) to receive per-round oversized-bucket counts and the
+    final star-fallback pile count ("no silent caps").
 
     Returns (id_a, id_b, cos) with id_a < id_b and cos ≥ threshold.
     Recall is tunable via ``hash_bits``/``num_tables`` — at the dup end
@@ -329,8 +332,17 @@ def lsh_near_dup_pairs(
 
     cands = None
     for rnd in range(max_refine_rounds + 1):
-        sized = _sized(bucketed)
+        # checkpoint each round's bucket frame: it feeds the pair
+        # explosion, the oversized probe, AND (round > 0 only when
+        # needed) the refinement join — without this the corpus-wide
+        # projection UDF + banding shuffle would execute 2-3× per call
+        # (review r4 second pass #2)
+        sized = _sized(bucketed).localCheckpoint(eager=True)
         last = rnd == max_refine_rounds
+        if last and stats_out is not None:
+            stats_out["final_star_buckets"] = sized.where(
+                F.col("n") > max_bucket
+            ).count()
         part = bucket_candidate_pairs(
             sized.where(F.col("n") <= max_bucket) if not last else sized,
             max_bucket=max_bucket,
@@ -344,15 +356,19 @@ def lsh_near_dup_pairs(
         over = sized.where(F.col("n") > max_bucket).select(
             F.col("bucket").alias("_ob")
         )
-        if not over.limit(1).count():
+        n_over = over.count()
+        if stats_out is not None:
+            stats_out[f"round_{rnd}_oversized_buckets"] = n_over
+        if not n_over:
             break  # nothing oversized — the common case exits round 0
-        # re-split oversized buckets by the round's refinement key; the
-        # oversized-bucket-id side is tiny (broadcast), and the shrunk
-        # member frame is checkpointed so later rounds don't re-run the
-        # projection UDF over the whole corpus
+        # re-split oversized buckets by each table's key for this
+        # round. NO broadcast hint: the oversized-id side is usually
+        # tiny but is unbounded in the worst case (review r4 second
+        # pass #5) — left-semi lets the planner degrade to a shuffle
+        # join gracefully.
         bucketed = (
             bucketed.join(
-                F.broadcast(over), bucketed["bucket"] == over["_ob"], "inner"
+                over, bucketed["bucket"] == over["_ob"], "left_semi"
             )
             .select(
                 "_id",

@@ -32,6 +32,47 @@ from .model import CHANGE_SCHEMA
 from .pipeline import apply_batch
 
 
+# current query generation per (table_root, stream_name): a restarted
+# stream supersedes its predecessor's token, and a superseded foreachBatch
+# callback stuck in an open-circuit wait aborts at its next poll instead
+# of waking later as a zombie writer
+_STREAM_GENERATION: dict[tuple[str, str], object] = {}
+
+
+def bind_breaker_observability(breaker, table_root: str, stream_name: str) -> None:
+    """(Re)bind the breaker's state-persistence writer for this
+    (table, stream) — a QoS object reused across streams must not keep
+    writing the FIRST stream's marker path (review r4 #7) — without
+    clobbering a caller-installed custom listener, which is chained
+    instead (review r4 second pass #6). A previous bind's writer/chain
+    is recognized by its tag and replaced, re-chaining the surviving
+    custom hook. Also writes the breaker's CURRENT state once, so a
+    fresh (closed) run supersedes a stale "open" marker left by a
+    previous run's pause-during-recovery stop."""
+    from . import lifecycle as _lc
+
+    writer_fn = _lc.breaker_state_writer(table_root, stream_name)
+    prev = breaker.listener
+    custom = getattr(prev, "_rs_custom_hook", None) or (
+        prev if prev is not None and not getattr(prev, "_rs_writer", False)
+        else None
+    )
+    if custom is None:
+        bound = writer_fn
+    else:
+        def bound(b, _c=custom, _w=writer_fn):
+            _c(b)
+            _w(b)
+
+        bound._rs_custom_hook = custom
+    bound._rs_writer = True
+    breaker.listener = bound
+    try:
+        writer_fn(breaker)
+    except Exception:  # noqa: BLE001 — observability must not fail startup
+        pass
+
+
 def feed_stream_schema() -> T.StructType:
     # feed parquet = canonical record + batch_id partition column
     return T.StructType(
@@ -81,20 +122,18 @@ def run_stream(
     # surface (lifecycle.health / cli status --health) can see an open
     # circuit from outside this driver process
     if qos is not None and qos.breaker is not None:
-        from . import lifecycle as _lc
+        bind_breaker_observability(qos.breaker, table.root, stream_name)
 
-        # (re)bind unconditionally: run_stream owns breaker
-        # observability for its (table, stream) — a QoS object reused
-        # across streams must not keep writing the FIRST stream's
-        # marker path (review r4 #7)
-        qos.breaker.listener = _lc.breaker_state_writer(table.root, stream_name)
-        try:
-            # startup write: a fresh query's (closed) breaker supersedes
-            # the marker a previous run left behind — e.g. "open" from a
-            # pause-during-recovery stop — so health reflects THIS run
-            qos.breaker.listener(qos.breaker)
-        except Exception:  # noqa: BLE001 — observability must not fail startup
-            pass
+    # generation fence (review r4 second pass #1): the transient-pause
+    # handshake that aborts an open-circuit wait is inherently racy —
+    # the marker can be written and cleared entirely inside one of the
+    # zombie callback's 1 s sleep intervals. Registering this query as
+    # the CURRENT generation for (table, stream) closes the hole: a
+    # superseded callback aborts at its next poll once a replacement
+    # query has started, pause marker or not.
+    gen_key = (table.root, stream_name)
+    gen_token = object()
+    _STREAM_GENERATION[gen_key] = gen_token
 
     def _apply(batch_df, batch_id: int):
         def _one():
@@ -128,7 +167,10 @@ def run_stream(
 
             qos.run(
                 _one,
-                abort_check=lambda: lifecycle.is_paused(table.root, stream_name),
+                abort_check=lambda: (
+                    lifecycle.is_paused(table.root, stream_name)
+                    or _STREAM_GENERATION.get(gen_key) is not gen_token
+                ),
             )
         else:
             _one()

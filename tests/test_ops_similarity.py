@@ -125,14 +125,17 @@ def test_lsh_near_dup_refinement_survives_random_oversized_buckets(spark, vecs):
     from replicator_spark.ops.similarity import lsh_near_dup_pairs
 
     df, base = vecs  # fixture plants a twin: base[1] ≈ base[0]
+    stats = {}
     got = {
         (r["id_a"], r["id_b"])
         for r in lsh_near_dup_pairs(
             df, dim=DIM, threshold=0.98, hash_bits=2, num_tables=4,
-            max_bucket=3,
+            max_bucket=3, stats_out=stats,
         ).collect()
     }
     assert (0, 1) in got
+    # the cap accounting is surfaced, never silent
+    assert stats.get("round_0_oversized_buckets", 0) > 0, stats
 
 
 def test_lsh_near_dup_pairs_oversized_bucket_star_path(spark):

@@ -356,3 +356,47 @@ def test_await_stream_pause_initiated_circuit_open_is_clean_stop(tmp_path):
     lifecycle.pause(root, "s1")
     with pytest.raises(StreamingQueryException):
         await_stream(FakeQ("Query terminated: OutOfMemoryError"), root, "s1")
+
+
+def test_bind_breaker_observability_chains_custom_listener(tmp_path):
+    """Review r4 second pass #6/#7: rebinding for a new (table, stream)
+    must retarget OUR writer without dropping a caller's custom hook,
+    and reuse across streams must not write the first stream's path."""
+    from replicator_spark import lifecycle
+    from replicator_spark.streaming import bind_breaker_observability
+
+    seen = []
+    br = CircuitBreaker(
+        CircuitBreakerConfig(failure_threshold=1),
+        listener=lambda b: seen.append(b.state),
+    )
+    r1, r2 = str(tmp_path / "t1"), str(tmp_path / "t2")
+    bind_breaker_observability(br, r1, "s1")
+    br.record_failure()  # -> open: custom hook AND marker both fire
+    assert seen == ["open"]
+    assert lifecycle.breaker_states(r1)["s1"]["state"] == "open"
+
+    # rebind to a second table/stream: marker path moves, custom hook
+    # survives exactly once (no double-chaining)
+    bind_breaker_observability(br, r2, "s2")
+    assert lifecycle.breaker_states(r2)["s2"]["state"] == "open"  # startup write
+    br.state = "half_open"
+    br.record_success()  # -> closed
+    assert seen == ["open", "closed"]  # chained once, not twice
+    assert lifecycle.breaker_states(r2)["s2"]["state"] == "closed"
+    assert lifecycle.breaker_states(r1)["s1"]["state"] == "open"  # untouched
+
+
+def test_resume_if_reason_spares_operator_pause(tmp_path):
+    from replicator_spark import lifecycle
+
+    root = str(tmp_path / "t")
+    lifecycle.pause(root, "s", reason="_config_reload")
+    assert lifecycle.resume_if_reason(root, "s", "_config_reload")
+    assert not lifecycle.is_paused(root, "s")
+    lifecycle.pause(root, "s", reason="operator maintenance")
+    assert not lifecycle.resume_if_reason(root, "s", "_config_reload")
+    assert lifecycle.is_paused(root, "s")  # operator's marker reinstated
+    # idempotent: a second attempt still declines and leaves it in place
+    assert not lifecycle.resume_if_reason(root, "s", "_config_reload")
+    assert lifecycle.is_paused(root, "s")
