@@ -1370,6 +1370,31 @@ FROM per_doc
 """
 
 
+def q_quality_unigram_logprob(spark, sf_dir):
+    """Corpus-unigram log-probability quality score (CCNet-style LM
+    proxy): mean ln(count/total) over each doc's tokens, model fit on
+    the corpus itself. Pure JVM: explode → count agg → token join →
+    per-doc avg."""
+    from replicator_spark.ops.text import unigram_logprob
+
+    return unigram_logprob(_load(spark, sf_dir, "documents"))
+
+
+SQL_quality_unigram_logprob = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+  FROM documents
+),
+counts AS (SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY 1),
+tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM counts)
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       round(AVG(ln(CAST(c.cnt AS DOUBLE) / total)), 4) AS avg_logprob
+FROM tok t JOIN counts c USING (tok), tot
+GROUP BY t.doc_id
+"""
+
+
 def q_doc_chunking(spark, sf_dir):
     """Fixed-size token-window chunking with overlap (context-window
     preparation / long-doc RAG indexing) — pure JVM sequence→transform→
@@ -2210,6 +2235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunking": q_doc_chunking,
         "pack_sequences": q_pack_sequences,
         "sessionize_events": q_sessionize_events,
+        "quality_unigram_logprob": q_quality_unigram_logprob,
         "simhash_dedup": q_simhash_dedup,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
@@ -2278,4 +2304,5 @@ def oracle_sql() -> dict[str, str]:
         "doc_chunking": SQL_doc_chunking,
         "pack_sequences": SQL_pack_sequences,
         "sessionize_events": SQL_sessionize_events,
+        "quality_unigram_logprob": SQL_quality_unigram_logprob,
     }

@@ -364,3 +364,44 @@ def chunk_documents(
         F.col("c.n_tokens").alias("n_tokens"),
         F.col("c.chunk_text").alias("chunk_text"),
     )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    round_to: int = 4,
+) -> DataFrame:
+    """Corpus-unigram log-probability quality score — the classic
+    language-model quality proxy (CCNet-style: docs whose tokens are
+    rare under the corpus distribution score low; gibberish, encoding
+    damage, and boilerplate-free token salads sink to the bottom).
+
+    score(doc) = mean over tokens of ln(count(token) / total_tokens),
+    with the unigram model fit on the SAME corpus (no OOV by
+    construction). Two shuffles at any scale: token-count aggregation,
+    then a token-keyed join back (vocabulary-sized side — broadcastable
+    for small corpora, a plain shuffle join at web scale); the total
+    rides as a broadcast 1-row aggregate, never a driver collect.
+
+    Returns (id, n_tokens, avg_logprob)."""
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = counts.agg(F.sum("cnt").cast("double").alias("_total"))
+    return (
+        toks.join(counts, "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.avg(F.log(F.col("cnt").cast("double") / F.col("_total"))),
+                round_to,
+            ).alias("avg_logprob"),
+        )
+        .select(F.col("_id").alias(id_col), "n_tokens", "avg_logprob")
+    )

@@ -80,3 +80,22 @@ def test_sessionize_gap_cuts(spark):
     assert stats[(1, 0)]["total_value"] == 3.0
     assert stats[(1, 1)]["session_start"] == t(50)
     assert stats[(2, 0)]["n_events"] == 1
+
+
+def test_unigram_logprob_ranks_rare_token_docs_low(spark):
+    from math import isclose, log
+
+    from replicator_spark.ops.text import unigram_logprob
+
+    rows = [
+        (0, "the cat sat on the mat"),
+        (1, "the dog sat on the mat"),
+        (2, "zyxwv qqjjx floop"),  # all-rare tokens -> lowest score
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in unigram_logprob(df).collect()}
+    assert got[2]["avg_logprob"] < got[0]["avg_logprob"]
+    assert got[2]["avg_logprob"] < got[1]["avg_logprob"]
+    assert got[0]["n_tokens"] == 6 and got[2]["n_tokens"] == 3
+    # exact value: doc 2's tokens are singletons out of 15 total
+    assert isclose(got[2]["avg_logprob"], round(log(1 / 15), 4), abs_tol=1e-9)

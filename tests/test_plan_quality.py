@@ -72,7 +72,7 @@ def test_no_python_eval_in_cdc_queries(spark):
         "decimal_generated_column", "source_cosmos_normalize",
         "boilerplate_lines", "dataset_split", "pii_redaction",
         "dedup_clusters", "decontaminate", "repetition_filter",
-        "doc_chunking", "sessionize_events",
+        "doc_chunking", "sessionize_events", "quality_unigram_logprob",
     ]
     qs = entry.queries()
     for name in jvm_only:
