@@ -1370,6 +1370,97 @@ FROM per_doc
 """
 
 
+def _binlog_fixture():
+    """Deterministic two-segment MySQL binlog (real v4 wire bytes via
+    sources.binlog.BinlogWriter) + the expected decoded rows. The
+    writer is fixture machinery (like feedgen); the DECODER is what the
+    oracle verifies — expected rows are derived from the event list and
+    the writer's recorded log positions, never from the decoder."""
+    import json as _json
+
+    from replicator_spark.sources.binlog import BinlogWriter, TableSchema
+
+    schema = TableSchema(
+        db="appdb", table="files",
+        columns=[("id", "long"), ("rev", "longlong"), ("name", "varchar")],
+    )
+    expected = []
+
+    def emit(w, seg, op, img):
+        seq = (seg << 32) | len(w.buf)  # rows-event end offset = log_pos
+        doc = _json.dumps(
+            {
+                k: str(v)
+                for (k, _t), v in zip(schema.columns, img)
+                if v is not None
+            },
+            separators=(",", ":"),
+        )
+        expected.append((seq, op, "appdb", "files", doc))
+
+    w1 = BinlogWriter(schema)
+    for i in range(1, 41):
+        name = None if i % 7 == 0 else f"f{i}.txt"
+        w1.write_rows([(i, i * 10, name)])
+        emit(w1, 1, "insert", (i, i * 10, name))
+    # one multi-row event: both rows share the event's log_pos
+    w1.write_rows([(41, 410, "f41.txt"), (42, 420, "f42.txt")])
+    emit(w1, 1, "insert", (41, 410, "f41.txt"))
+    emit(w1, 1, "insert", (42, 420, "f42.txt"))
+    w1.xid(1)
+
+    w2 = BinlogWriter(schema)
+    for i in range(1, 21):
+        before = (i, i * 10, None if i % 7 == 0 else f"f{i}.txt")
+        if i % 3 == 0:
+            w2.delete_rows([before])
+            emit(w2, 2, "delete", before)
+        else:
+            after = (i, i * 10 + 1, f"g{i}.txt")
+            w2.update_rows([(before, after)])
+            emit(w2, 2, "update", after)
+    w2.xid(2)
+    return schema, [w1, w2], expected
+
+
+def q_source_mysql_binlog_decode(spark, sf_dir):
+    """S1/S2 at the WIRE level (r4): decode real MySQL binlog v4 bytes
+    (FDE / TABLE_MAP / WRITE/UPDATE/DELETE_ROWS v2, null bitmaps,
+    varchar length prefixes, two rotated segments) into the canonical
+    positional-row form and normalize via from_mysql_rows. The oracle
+    is the literal event list the fixture wrote — hash-equality proves
+    the byte-level parse, the segment<<32|log_pos sequencing, and the
+    null-column handling. Only the replication transport remains a
+    sandbox stand-in."""
+    from replicator_spark.sources.binlog import read_binlog_feed
+    from replicator_spark.sources.normalize import from_mysql_rows
+
+    schema, writers, _expected = _binlog_fixture()
+    d = _scratch("binlog_decode")
+    for i, w in enumerate(writers, start=1):
+        w.save(f"{d}/binlog.{i:06d}")
+    feed = read_binlog_feed(spark, d)
+    return from_mysql_rows(feed, [n for n, _t in schema.columns]).select(
+        "seq", "op", "db", "tbl", "doc"
+    )
+
+
+def _sql_source_mysql_binlog_decode() -> str:
+    _schema, _writers, expected = _binlog_fixture()
+    values = ",\n  ".join(
+        f"({seq}, '{op}', '{db}', '{tbl}', '{doc}')"
+        for seq, op, db, tbl, doc in expected
+    )
+    return (
+        "SELECT CAST(seq AS BIGINT) AS seq, op, db, tbl, doc FROM (VALUES\n  "
+        + values
+        + "\n) AS t(seq, op, db, tbl, doc)"
+    )
+
+
+SQL_source_mysql_binlog_decode = _sql_source_mysql_binlog_decode()
+
+
 def q_quality_unigram_logprob(spark, sf_dir):
     """Corpus-unigram log-probability quality score (CCNet-style LM
     proxy): mean ln(count/total) over each doc's tokens, model fit on
@@ -2236,6 +2327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "sessionize_events": q_sessionize_events,
         "quality_unigram_logprob": q_quality_unigram_logprob,
+        "source_mysql_binlog_decode": q_source_mysql_binlog_decode,
         "simhash_dedup": q_simhash_dedup,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
@@ -2305,4 +2397,5 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": SQL_pack_sequences,
         "sessionize_events": SQL_sessionize_events,
         "quality_unigram_logprob": SQL_quality_unigram_logprob,
+        "source_mysql_binlog_decode": SQL_source_mysql_binlog_decode,
     }

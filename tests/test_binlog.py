@@ -1,0 +1,136 @@
+"""MySQL binlog v4 wire-format decode: writer→decoder roundtrip (pure
+python), Spark decode feed, and end-to-end apply through the normal
+MERGE path. The reference gets these events pre-decoded from go-mysql
+(pkg/streams/mysql_stream.go:210-323); here the byte format itself is
+parsed — only the replication transport stays a sandbox stand-in."""
+
+import json
+import struct
+
+import pytest
+
+from replicator_spark.sources.binlog import (
+    MAGIC,
+    BinlogWriter,
+    TableSchema,
+    decode_binlog,
+    read_binlog_feed,
+)
+
+SCHEMA = TableSchema(
+    db="appdb",
+    table="files",
+    columns=[("id", "long"), ("rev", "longlong"), ("name", "varchar")],
+)
+
+
+def _sample_writer():
+    w = BinlogWriter(SCHEMA)
+    w.write_rows([(1, 10, "a.txt"), (2, 20, "b.txt"), (3, 30, None)])
+    w.xid(1)
+    w.update_rows([((2, 20, "b.txt"), (2, 21, "b2.txt"))])
+    w.delete_rows([(1, 10, "a.txt")])
+    w.xid(2)
+    return w
+
+
+def test_roundtrip_decode_matches_written_events():
+    w = _sample_writer()
+    evs = decode_binlog(bytes(w.buf))
+    assert [e["op"] for e in evs] == ["insert"] * 3 + ["update", "delete"]
+    assert all(e["db"] == "appdb" and e["tbl"] == "files" for e in evs)
+    assert evs[0]["after"] == (1, 10, "a.txt")
+    assert evs[2]["after"] == (3, 30, None)  # NULL via the null bitmap
+    assert evs[3]["before"] == (2, 20, "b.txt")
+    assert evs[3]["after"] == (2, 21, "b2.txt")
+    assert evs[4]["before"] == (1, 10, "a.txt")
+    # log positions strictly increase (binlog order)
+    pos = [e["log_pos"] for e in evs]
+    assert pos == sorted(pos)
+    # XID and FDE were skipped, not misparsed
+    assert len(evs) == 5
+
+
+def test_decode_rejects_garbage_and_handles_negative_ints():
+    with pytest.raises(ValueError, match="magic"):
+        decode_binlog(b"not a binlog")
+    w = BinlogWriter(SCHEMA)
+    w.write_rows([(-5, -(2**40), "neg")])
+    ev = decode_binlog(bytes(w.buf))[0]
+    assert ev["after"] == (-5, -(2**40), "neg")
+
+
+def test_decode_crc32_checksummed_stream():
+    """A 5.6+ stream with CRC32 checksums: 4 bytes trail every
+    post-FDE event; the FDE's alg byte sits before its own CRC."""
+    import zlib
+
+    w = _sample_writer()
+    raw = bytes(w.buf)
+    # rebuild the stream with alg=1 + per-event CRCs
+    out = bytearray(MAGIC)
+    off = 4
+    first = True
+    while off < len(raw):
+        ts, etype, srv, size, _lp, flags = struct.unpack_from("<IBIIIH", raw, off)
+        body = raw[off + 19 : off + size]
+        if first:
+            body = body[:-1] + bytes([1])  # checksum_alg = CRC32
+            first = False
+        nsize = size + 4
+        ev = struct.pack("<IBIIIH", ts, etype, srv, nsize, len(out) + nsize, flags) + body
+        ev += struct.pack("<I", zlib.crc32(ev))
+        out += ev
+        off += size
+    evs = decode_binlog(bytes(out))
+    assert [e["op"] for e in evs] == ["insert"] * 3 + ["update", "delete"]
+    assert evs[3]["after"] == (2, 21, "b2.txt")
+
+
+def test_spark_binlog_feed_and_merge_roundtrip(spark, tmp_path):
+    """Two rotated segments decode in parallel, normalize through
+    from_mysql_rows, and apply through the standard MERGE — final table
+    state equals the sequential oracle of the written events."""
+    from pyspark.sql import functions as F
+
+    from replicator_spark.sources.normalize import from_mysql_rows
+
+    d = str(tmp_path / "binlog")
+    w1 = BinlogWriter(SCHEMA)
+    w1.write_rows([(i, i * 10, f"f{i}.txt") for i in range(1, 6)])
+    w1.save(f"{d}/binlog.000001")
+    w2 = BinlogWriter(SCHEMA)
+    w2.update_rows([((2, 20, "f2.txt"), (2, 99, "f2-new.txt"))])
+    w2.delete_rows([(3, 30, "f3.txt")])
+    w2.write_rows([(6, 60, None)])
+    w2.save(f"{d}/binlog.000002")
+
+    feed = read_binlog_feed(spark, d)
+    plan = feed._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan  # Arrow path only
+
+    rows = from_mysql_rows(
+        feed, [n for n, _t in SCHEMA.columns]
+    ).orderBy("seq").collect()
+    assert len(rows) == 8
+    # segment 2's seqs all rank above segment 1's (rotation order)
+    segs = [r["seq"] >> 32 for r in rows]
+    assert segs == sorted(segs) and set(segs) == {1, 2}
+
+    # fold LWW by id: final state must match a sequential apply
+    state = {}
+    for r in rows:
+        doc = json.loads(r["doc"])
+        key = doc["id"]
+        if r["op"] == "delete":
+            state.pop(key, None)
+        else:
+            state[key] = doc
+    assert set(state) == {"1", "4", "5", "2", "6"}
+    assert state["2"]["name"] == "f2-new.txt" and state["2"]["rev"] == "99"
+    # NULL column: to_json omits null fields (JSON-absent ≡ null is the
+    # engine's documented partial/null convention)
+    assert state["6"].get("name") is None
+    # numbers survive as their literal text through the positional
+    # array decode (from_json string capture), like the parquet feed
+    assert state["1"] == {"id": "1", "rev": "10", "name": "f1.txt"}
