@@ -1461,6 +1461,83 @@ def _sql_source_mysql_binlog_decode() -> str:
 SQL_source_mysql_binlog_decode = _sql_source_mysql_binlog_decode()
 
 
+def _pgoutput_fixture():
+    """Deterministic recorded pgoutput stream + expected decoded rows
+    (same pattern as the binlog fixture: the writer is fixture
+    machinery; the decoder is what the oracle verifies)."""
+    import json as _json
+
+    from replicator_spark.sources.pgoutput import PgOutputWriter
+
+    cols = ["id", "rev", "name"]
+    w = PgOutputWriter(columns=cols)
+    expected = []
+
+    def emit(op, img):
+        doc = _json.dumps(
+            {k: v for k, v in zip(cols, img) if v is not None},
+            separators=(",", ":"),
+        )
+        expected.append((w.lsn, op, "public", "files", doc))
+
+    w.begin(xid=1)
+    for i in range(1, 31):
+        row = (str(i), str(i * 10), None if i % 5 == 0 else f"f{i}.txt")
+        w.insert(row)
+        emit("insert", row)
+    w.commit()
+    w.begin(xid=2)
+    for i in range(1, 16):
+        old = (str(i), str(i * 10), None if i % 5 == 0 else f"f{i}.txt")
+        if i % 3 == 0:
+            w.delete(old)
+            emit("delete", old)
+        else:
+            new = (str(i), str(i * 10 + 1), f"g{i}.txt")
+            w.update(new, old=old)
+            emit("update", new)
+    w.commit()
+    return cols, w, expected
+
+
+def q_source_pg_wal_decode(spark, sf_dir):
+    """S5/S6 at the WIRE level (r4): decode a recorded pgoutput logical
+    replication stream (Relation/Begin/Insert/Update/Delete/Commit
+    messages inside XLogData frames) and normalize via from_pg_tuples —
+    with the REAL column names recovered from the Relation message
+    (the reference's pglogrepl path loses them to col_N synthetics).
+    Oracle = the literal event list the fixture wrote; seq is the
+    frame LSN. Only the walsender transport remains a stand-in."""
+    from replicator_spark.sources.normalize import from_pg_tuples
+    from replicator_spark.sources.pgoutput import read_pgoutput_feed
+
+    cols, w, _expected = _pgoutput_fixture()
+    d = _scratch("pg_wal_decode")
+    w.save(f"{d}/seg.000001")
+    feed = read_pgoutput_feed(spark, d)
+    # identity rename → struct-shaped doc (deterministic key order,
+    # null columns omitted like the canonical convention)
+    return from_pg_tuples(feed, rename={c: c for c in cols}).select(
+        "seq", "op", "db", "tbl", "doc"
+    )
+
+
+def _sql_source_pg_wal_decode() -> str:
+    _cols, _w, expected = _pgoutput_fixture()
+    values = ",\n  ".join(
+        f"({seq}, '{op}', '{db}', '{tbl}', '{doc}')"
+        for seq, op, db, tbl, doc in expected
+    )
+    return (
+        "SELECT CAST(seq AS BIGINT) AS seq, op, db, tbl, doc FROM (VALUES\n  "
+        + values
+        + "\n) AS t(seq, op, db, tbl, doc)"
+    )
+
+
+SQL_source_pg_wal_decode = _sql_source_pg_wal_decode()
+
+
 def q_quality_unigram_logprob(spark, sf_dir):
     """Corpus-unigram log-probability quality score (CCNet-style LM
     proxy): mean ln(count/total) over each doc's tokens, model fit on
@@ -2328,6 +2405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": q_sessionize_events,
         "quality_unigram_logprob": q_quality_unigram_logprob,
         "source_mysql_binlog_decode": q_source_mysql_binlog_decode,
+        "source_pg_wal_decode": q_source_pg_wal_decode,
         "simhash_dedup": q_simhash_dedup,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
@@ -2398,4 +2476,5 @@ def oracle_sql() -> dict[str, str]:
         "sessionize_events": SQL_sessionize_events,
         "quality_unigram_logprob": SQL_quality_unigram_logprob,
         "source_mysql_binlog_decode": SQL_source_mysql_binlog_decode,
+        "source_pg_wal_decode": SQL_source_pg_wal_decode,
     }

@@ -1,0 +1,222 @@
+"""PostgreSQL logical-replication ``pgoutput`` wire-format decode
+(and a writer for fixtures).
+
+The reference consumes logical replication through pglogrepl
+(``pkg/streams/postgresql_stream.go:250-360``) and loses column names
+(synthetic ``col_N`` / ``relation_%d`` — ``postgresql_stream.go:
+506-531``). Here the pgoutput binary protocol itself is parsed from
+the public format: Relation ('R') messages carry the real column
+names, and Insert/Update/Delete ('I'/'U'/'D') tuples decode against
+them — a sanctioned improvement over the reference's name loss. What
+remains sandbox-stubbed is the walsender TRANSPORT (START_REPLICATION
+handshake + keepalives); the bytes are the real format.
+
+Recorded-stream file layout: a sequence of length-prefixed XLogData
+frames — ``u32 frame_len | 'w' | start_lsn u64 | end_lsn u64 |
+clock u64 | pgoutput message`` — i.e. the COPY-subprotocol payloads a
+walsender emits, framed for file storage. Messages implemented:
+Begin ('B'), Commit ('C'), Relation ('R'), Insert ('I'), Update ('U',
+with optional 'K'/'O' old image), Delete ('D'); TupleData columns
+``'n'`` (null), ``'u'`` (unchanged TOAST → None), ``'t'`` (text).
+Scale shape mirrors binlog.py: one recorded segment = one decode task
+(binaryFile → Arrow mapInPandas)."""
+
+from __future__ import annotations
+
+import os
+import struct
+
+
+def _cstr(b: bytes, off: int) -> tuple[str, int]:
+    end = b.index(0, off)
+    return b[off:end].decode(), end + 1
+
+
+class PgOutputWriter:
+    """Compose a recorded pgoutput stream (length-prefixed XLogData
+    frames) for fixtures/replay."""
+
+    def __init__(self, *, relid: int = 16384, namespace: str = "public",
+                 relname: str = "files", columns: list[str] | None = None,
+                 start_lsn: int = 1000):
+        self.relid = relid
+        self.namespace = namespace
+        self.relname = relname
+        self.columns = columns or ["id", "rev", "name"]
+        self.lsn = start_lsn
+        self.buf = bytearray()
+        self._relation()
+
+    def _frame(self, msg: bytes) -> None:
+        self.lsn += 8 + len(msg)  # LSNs advance with WAL volume
+        xlog = b"w" + struct.pack(">QQQ", self.lsn, self.lsn, 0) + msg
+        self.buf += struct.pack(">I", len(xlog)) + xlog
+
+    def _relation(self) -> None:
+        msg = bytearray(b"R")
+        msg += struct.pack(">I", self.relid)
+        msg += self.namespace.encode() + b"\x00"
+        msg += self.relname.encode() + b"\x00"
+        msg += b"d"  # replica identity: default
+        msg += struct.pack(">H", len(self.columns))
+        for c in self.columns:
+            msg += b"\x01" + c.encode() + b"\x00" + struct.pack(">Ii", 25, -1)
+        self._frame(bytes(msg))
+
+    def _tuple(self, row: tuple) -> bytes:
+        out = bytearray(struct.pack(">H", len(row)))
+        for v in row:
+            if v is None:
+                out += b"n"
+            else:
+                b = str(v).encode()
+                out += b"t" + struct.pack(">I", len(b)) + b
+        return bytes(out)
+
+    def begin(self, xid: int = 1) -> None:
+        self._frame(b"B" + struct.pack(">QQI", self.lsn, 0, xid))
+
+    def commit(self) -> None:
+        self._frame(b"C" + b"\x00" + struct.pack(">QQQ", self.lsn, self.lsn, 0))
+
+    def insert(self, row: tuple) -> None:
+        self._frame(
+            b"I" + struct.pack(">I", self.relid) + b"N" + self._tuple(row)
+        )
+
+    def update(self, new: tuple, old: tuple | None = None) -> None:
+        msg = bytearray(b"U") + struct.pack(">I", self.relid)
+        if old is not None:
+            msg += b"O" + self._tuple(old)
+        msg += b"N" + self._tuple(new)
+        self._frame(bytes(msg))
+
+    def delete(self, old: tuple) -> None:
+        self._frame(
+            b"D" + struct.pack(">I", self.relid) + b"K" + self._tuple(old)
+        )
+
+    def save(self, path: str) -> None:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(self.buf)
+        os.rename(tmp, path)
+
+
+def _parse_tuple(b: bytes, off: int) -> tuple[list, int]:
+    (n,) = struct.unpack_from(">H", b, off)
+    off += 2
+    row = []
+    for _ in range(n):
+        kind = b[off : off + 1]
+        off += 1
+        if kind in (b"n", b"u"):  # null / unchanged TOAST
+            row.append(None)
+        elif kind == b"t":
+            (ln,) = struct.unpack_from(">I", b, off)
+            off += 4
+            row.append(b[off : off + ln].decode())
+            off += ln
+        else:
+            raise ValueError(f"unsupported TupleData kind {kind!r}")
+    return row, off
+
+
+def decode_pgoutput(data: bytes) -> list[dict]:
+    """Recorded pgoutput stream → row-event dicts ``{"lsn", "op",
+    "namespace", "relname", "old", "new"}`` with old/new as
+    column-name→text dicts (None for SQL NULL). Begin/Commit frames
+    are consumed for ordering only; unknown message types raise."""
+    off = 0
+    rels: dict[int, dict] = {}
+    out: list[dict] = []
+    while off + 4 <= len(data):
+        (flen,) = struct.unpack_from(">I", data, off)
+        off += 4
+        frame = data[off : off + flen]
+        off += flen
+        if frame[:1] != b"w":
+            raise ValueError(f"unsupported copy message {frame[:1]!r}")
+        lsn = struct.unpack_from(">Q", frame, 1)[0]
+        msg = frame[25:]
+        tag = msg[:1]
+        if tag == b"R":
+            (relid,) = struct.unpack_from(">I", msg, 1)
+            p = 5
+            ns, p = _cstr(msg, p)
+            rel, p = _cstr(msg, p)
+            p += 1  # replica identity
+            (ncols,) = struct.unpack_from(">H", msg, p)
+            p += 2
+            cols = []
+            for _ in range(ncols):
+                p += 1  # flags
+                name, p = _cstr(msg, p)
+                p += 8  # type oid + typmod
+                cols.append(name)
+            rels[relid] = {"namespace": ns, "relname": rel, "columns": cols}
+        elif tag in (b"I", b"U", b"D"):
+            (relid,) = struct.unpack_from(">I", msg, 1)
+            r = rels[relid]
+            p = 5
+            old = new = None
+            while p < len(msg):
+                kind = msg[p : p + 1]
+                p += 1
+                vals, p = _parse_tuple(msg, p)
+                named = dict(zip(r["columns"], vals))
+                if kind in (b"K", b"O"):
+                    old = named
+                elif kind == b"N":
+                    new = named
+                else:
+                    raise ValueError(f"unsupported image kind {kind!r}")
+            op = {b"I": "insert", b"U": "update", b"D": "delete"}[tag]
+            out.append(
+                {
+                    "lsn": lsn, "op": op,
+                    "namespace": r["namespace"], "relname": r["relname"],
+                    "old": old, "new": new,
+                }
+            )
+        elif tag in (b"B", b"C"):
+            pass  # transaction framing: ordering only
+        else:
+            raise ValueError(f"unsupported pgoutput message {tag!r}")
+    return out
+
+
+def read_pgoutput_feed(spark, stream_dir: str):
+    """Decode a directory of recorded pgoutput segments into the tuple
+    frame ``from_pg_tuples`` consumes: (seq, op, db, tbl, tuple) with
+    the REAL column names recovered from Relation messages (the
+    reference's pglogrepl path loses them — sanctioned improvement).
+    ``seq`` is the frame LSN — already globally ordered by WAL
+    position, the native LSN contract of the LWW merge."""
+    import pandas as pd
+
+    files = spark.read.format("binaryFile").load(stream_dir)
+    schema = "seq long, op string, db string, tbl string, tuple map<string,string>"
+
+    def _decode(it):
+        for pdf in it:
+            rows = []
+            for content in pdf["content"]:
+                for ev in decode_pgoutput(bytes(content)):
+                    img = ev["new"] if ev["op"] != "delete" else ev["old"]
+                    rows.append(
+                        (ev["lsn"], ev["op"], ev["namespace"], ev["relname"], img)
+                    )
+            yield pd.DataFrame(
+                rows, columns=["seq", "op", "db", "tbl", "tuple"]
+            )
+
+    return files.select("content").mapInPandas(_decode, schema=schema)
+
+
+__all__ = [
+    "PgOutputWriter",
+    "decode_pgoutput",
+    "read_pgoutput_feed",
+]
