@@ -1538,6 +1538,114 @@ def _sql_source_pg_wal_decode() -> str:
 SQL_source_pg_wal_decode = _sql_source_pg_wal_decode()
 
 
+def _changestream_fixture():
+    """Deterministic recorded Mongo change-stream segment (real BSON
+    bytes via sources.bson_wire.ChangeStreamWriter) + expected decoded
+    rows.  Same contract as the binlog/pgoutput fixtures: the writer is
+    fixture machinery; the DECODER is what the oracle verifies —
+    expected rows are derived from the event list and the writer's
+    clusterTime contract, never from the decoder."""
+    import json as _json
+
+    from replicator_spark.sources.bson_wire import ChangeStreamWriter, ObjectId
+
+    w = ChangeStreamWriter(db="appdb", coll="files")
+    expected = []
+    T0 = 1_700_000_000
+
+    def _j(v):  # event-list value → Extended-JSON-able (fixture-side)
+        if isinstance(v, ObjectId):
+            return {"$oid": v.hex}
+        if isinstance(v, dict):
+            return {k: _j(x) for k, x in v.items()}
+        if isinstance(v, list):
+            return [_j(x) for x in v]
+        return v
+
+    def emit(op, key, doc):
+        seq = (T0 << 32) | (len(expected) + 1)  # writer clusterTime law
+        expected.append(
+            (
+                seq,
+                op,
+                "files",
+                _json.dumps(_j(key), separators=(",", ":")),
+                "{}" if doc is None
+                else _json.dumps(_j(doc), separators=(",", ":")),
+            )
+        )
+
+    for i in range(1, 26):
+        key = {"_id": ObjectId.from_int(i)}
+        doc = {
+            "_id": ObjectId.from_int(i),
+            "rev": i,
+            "name": None if i % 5 == 0 else f"f{i}.txt",
+            "score": i * 0.5,
+            "flag": i % 2 == 0,
+            "tags": ["a", f"t{i}"],
+            "meta": {"depth": 1, "big": 2**40 + i},
+        }
+        w.insert(key, doc)
+        emit("insert", key, doc)
+    for i in range(1, 13):
+        key = {"_id": ObjectId.from_int(i)}
+        if i % 4 == 0:
+            # updateLookup miss: no fullDocument → tier-3 empty doc
+            w.update(key, None, updated={"rev": i * 100})
+            emit("update", key, None)
+        else:
+            doc = {"_id": ObjectId.from_int(i), "rev": i * 100}
+            w.update(key, doc, updated={"rev": i * 100})
+            emit("update", key, doc)
+    for i in (13, 14):
+        key = {"_id": ObjectId.from_int(i)}
+        doc = {"_id": ObjectId.from_int(i), "rev": -i}
+        w.replace(key, doc)
+        emit("update", key, doc)  # canonical: replace → update
+    for i in range(15, 22, 3):
+        key = {"_id": ObjectId.from_int(i)}
+        w.delete(key)
+        emit("delete", key, None)
+    return w, expected
+
+
+def q_source_mongo_changestream_decode(spark, sf_dir):
+    """S3/S4 at the WIRE level (r4): decode a recorded Mongo
+    change-stream segment — real BSON documents per the public spec
+    (int32/int64/double/string/bool/null/ObjectId/timestamp, nested
+    docs + arrays) — and normalize via from_mongo_events (replace →
+    update, delete → '{{}}', updateLookup-miss → tier-3 empty doc).
+    Oracle = the literal event list the fixture wrote; seq is the
+    clusterTime ``(t<<32)|i``, the oplog's native total order.  Only
+    the command transport (hello/getMore) remains a sandbox stand-in.
+    Ref: pkg/streams/mongodb_stream.go:306-399,500-581."""
+    from replicator_spark.sources.bson_wire import read_changestream_feed
+    from replicator_spark.sources.normalize import from_mongo_events
+
+    w, _expected = _changestream_fixture()
+    d = _scratch("changestream_decode")
+    w.save(f"{d}/seg.000001")
+    feed = read_changestream_feed(spark, d)
+    return from_mongo_events(feed).select("seq", "op", "tbl", "key", "doc")
+
+
+def _sql_source_mongo_changestream_decode() -> str:
+    _w, expected = _changestream_fixture()
+    values = ",\n  ".join(
+        f"({seq}, '{op}', '{tbl}', '{key}', '{doc}')"
+        for seq, op, tbl, key, doc in expected
+    )
+    return (
+        "SELECT CAST(seq AS BIGINT) AS seq, op, tbl, key, doc FROM (VALUES\n  "
+        + values
+        + "\n) AS t(seq, op, tbl, key, doc)"
+    )
+
+
+SQL_source_mongo_changestream_decode = _sql_source_mongo_changestream_decode()
+
+
 def q_quality_unigram_logprob(spark, sf_dir):
     """Corpus-unigram log-probability quality score (CCNet-style LM
     proxy): mean ln(count/total) over each doc's tokens, model fit on
@@ -2406,6 +2514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_unigram_logprob": q_quality_unigram_logprob,
         "source_mysql_binlog_decode": q_source_mysql_binlog_decode,
         "source_pg_wal_decode": q_source_pg_wal_decode,
+        "source_mongo_changestream_decode": q_source_mongo_changestream_decode,
         "simhash_dedup": q_simhash_dedup,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
@@ -2477,4 +2586,5 @@ def oracle_sql() -> dict[str, str]:
         "quality_unigram_logprob": SQL_quality_unigram_logprob,
         "source_mysql_binlog_decode": SQL_source_mysql_binlog_decode,
         "source_pg_wal_decode": SQL_source_pg_wal_decode,
+        "source_mongo_changestream_decode": SQL_source_mongo_changestream_decode,
     }
