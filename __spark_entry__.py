@@ -1646,6 +1646,124 @@ def _sql_source_mongo_changestream_decode() -> str:
 SQL_source_mongo_changestream_decode = _sql_source_mongo_changestream_decode()
 
 
+def _kafka_segment_fixture():
+    """Deterministic recorded Kafka log segments (real RecordBatch v2
+    bytes via sources.kafka_wire.KafkaSegmentWriter) + expected
+    normalized rows.  Expected rows are derived from the message list
+    and the segment-offset law (offsets continue across batches and
+    segments), never from the decoder.  Tombstones and non-JSON
+    payloads are written but expected ABSENT (the reference
+    log-and-skips them, kafka_stream.go:393-397)."""
+    import json as _json
+
+    from replicator_spark.sources.kafka_wire import KafkaSegmentWriter
+
+    expected = []  # (seq, op, db, tbl, doc)
+    offset = 0
+    segments = []
+
+    def batch(w, msgs):
+        nonlocal offset
+        recs = []
+        for m in msgs:
+            if m is None:  # tombstone
+                recs.append((str(offset).encode(), None))
+            elif isinstance(m, str):  # raw non-JSON payload
+                recs.append((str(offset).encode(), m.encode()))
+            else:
+                data = _json.dumps(m["row"], separators=(",", ":"))
+                payload = {
+                    k: v
+                    for k, v in (
+                        ("action", m.get("action")),
+                        ("schema", m.get("schema")),
+                        ("collection", m.get("collection")),
+                        ("data", data),
+                    )
+                    if v is not None
+                }
+                recs.append(
+                    (str(offset).encode(),
+                     _json.dumps(payload, separators=(",", ":")).encode())
+                )
+                expected.append(
+                    (
+                        offset,
+                        m.get("action", "insert"),
+                        m.get("schema", "srcdb"),
+                        m.get("collection", "files-topic"),
+                        data,
+                    )
+                )
+            offset += 1
+        w.append_batch(recs)
+
+    w1 = KafkaSegmentWriter(base_offset=0)
+    batch(
+        w1,
+        [
+            {"action": "insert", "schema": "appdb", "collection": "files",
+             "row": {"id": i, "rev": i * 10, "name": f"f{i}.txt"}}
+            for i in range(1, 21)
+        ],
+    )
+    batch(
+        w1,
+        # defaulted fields: action→insert, schema→srcdb, collection→topic
+        [{"row": {"id": 100 + i, "rev": i}} for i in range(1, 6)]
+        + [None, "not json"],  # tombstone + junk: dropped
+    )
+    segments.append(w1)
+    w2 = KafkaSegmentWriter(base_offset=offset)
+    batch(
+        w2,
+        [
+            {"action": "update" if i % 3 else "delete", "schema": "appdb",
+             "collection": "files", "row": {"id": i, "rev": i * 10 + 1}}
+            for i in range(1, 13)
+        ],
+    )
+    segments.append(w2)
+    return segments, expected
+
+
+def q_source_kafka_wire_decode(spark, sf_dir):
+    """S7 at the WIRE level (r4): decode recorded Kafka log segments —
+    real RecordBatch v2 bytes (61-byte batch header, CRC32C verified,
+    zigzag-varint records, null keys/values, offsets continuing across
+    batches and segment rolls) — and normalize via from_kafka_messages
+    (action/schema/collection defaults; tombstones and non-JSON
+    payloads log-and-skipped like the reference).  Oracle = the literal
+    message list the fixture wrote; seq is the native partition offset.
+    Only the group-join/fetch RPC transport remains a sandbox stand-in.
+    Ref: pkg/streams/kafka_stream.go:226-274,382-414."""
+    from replicator_spark.sources.kafka_wire import read_kafka_segments
+    from replicator_spark.sources.normalize import from_kafka_messages
+
+    segments, _expected = _kafka_segment_fixture()
+    d = _scratch("kafka_wire_decode")
+    for i, w in enumerate(segments):
+        w.save(f"{d}/{i * 10**10:020d}.log")
+    feed = read_kafka_segments(spark, d, topic="files-topic")
+    return from_kafka_messages(feed).select("seq", "op", "db", "tbl", "doc")
+
+
+def _sql_source_kafka_wire_decode() -> str:
+    _segments, expected = _kafka_segment_fixture()
+    values = ",\n  ".join(
+        f"({seq}, '{op}', '{db}', '{tbl}', '{doc}')"
+        for seq, op, db, tbl, doc in expected
+    )
+    return (
+        "SELECT CAST(seq AS BIGINT) AS seq, op, db, tbl, doc FROM (VALUES\n  "
+        + values
+        + "\n) AS t(seq, op, db, tbl, doc)"
+    )
+
+
+SQL_source_kafka_wire_decode = _sql_source_kafka_wire_decode()
+
+
 def q_quality_unigram_logprob(spark, sf_dir):
     """Corpus-unigram log-probability quality score (CCNet-style LM
     proxy): mean ln(count/total) over each doc's tokens, model fit on
@@ -2515,6 +2633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_mysql_binlog_decode": q_source_mysql_binlog_decode,
         "source_pg_wal_decode": q_source_pg_wal_decode,
         "source_mongo_changestream_decode": q_source_mongo_changestream_decode,
+        "source_kafka_wire_decode": q_source_kafka_wire_decode,
         "simhash_dedup": q_simhash_dedup,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
@@ -2587,4 +2706,5 @@ def oracle_sql() -> dict[str, str]:
         "source_mysql_binlog_decode": SQL_source_mysql_binlog_decode,
         "source_pg_wal_decode": SQL_source_pg_wal_decode,
         "source_mongo_changestream_decode": SQL_source_mongo_changestream_decode,
+        "source_kafka_wire_decode": SQL_source_kafka_wire_decode,
     }
