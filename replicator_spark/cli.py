@@ -18,6 +18,7 @@ from __future__ import annotations
 import argparse
 import json
 import sys
+import threading
 from dataclasses import dataclass, field
 
 
@@ -399,6 +400,37 @@ def cmd_config_restore(
     return 0
 
 
+def cmd_serve(args) -> int:
+    """Run the management HTTP API (``http_api.ManagementServer`` — the
+    reference's ``pkg/api`` transport) until interrupted.  Driver-side
+    only: pairs with a separately-running ingest job on the same
+    table_root, which is exactly the reference's deployment shape
+    (API server + stream runner in one process group)."""
+    import signal
+
+    from .http_api import ManagementServer
+
+    srv = ManagementServer(
+        args.table_root,
+        config_path=args.config,
+        feed_dir=args.feed_dir,
+        checkpoint_dir=args.checkpoint_dir,
+        auth_tokens=tuple(args.auth_token),
+        host=args.host,
+        port=args.port,
+    )
+    base = srv.start()
+    print(json.dumps({"serving": base, "table": args.table_root}), flush=True)
+    stop = threading.Event()
+    signal.signal(signal.SIGINT, lambda *a: stop.set())
+    signal.signal(signal.SIGTERM, lambda *a: stop.set())
+    try:
+        stop.wait()
+    finally:
+        srv.stop()
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="replicator_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -437,7 +469,19 @@ def main(argv: list[str] | None = None) -> int:
     rp.add_argument("--backup-id", default=None,
                     help="timestamp id from config-backup --list (default: newest)")
     rp.add_argument("--list", action="store_true", dest="list_only")
+    vp = sub.add_parser("serve", help="management HTTP API (pkg/api parity)")
+    vp.add_argument("--table-root", required=True)
+    vp.add_argument("--config", default=None)
+    vp.add_argument("--feed-dir", default=None)
+    vp.add_argument("--checkpoint-dir", default=None)
+    vp.add_argument("--host", default="127.0.0.1")
+    vp.add_argument("--port", type=int, default=8080)
+    vp.add_argument("--auth-token", action="append", default=[],
+                    help="bearer token (repeatable); auth skips /health + /metrics")
     args = p.parse_args(argv)
+
+    if args.cmd == "serve":
+        return cmd_serve(args)
 
     if args.cmd == "metrics":
         return cmd_metrics(args.table_root)
