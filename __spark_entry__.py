@@ -1789,6 +1789,121 @@ GROUP BY t.doc_id
 """
 
 
+_MIX_WEIGHTS = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+
+
+def q_sample_mixture(spark, sf_dir):
+    """Deterministic domain-mixture resampling (DoReMi/Pile-style
+    domain weights): keep the largest subcorpus matching the target
+    per-source proportions, selecting survivors by salted md5 fraction
+    (stable across runs and cluster sizes, no RNG).  One |groups|-row
+    broadcast; the corpus side never shuffles — the filter is a
+    map-side predicate at any scale."""
+    from replicator_spark.ops.text import sample_mixture
+
+    docs = _load(spark, sf_dir, "documents")
+    return sample_mixture(docs, _MIX_WEIGHTS).select(
+        "doc_id", "source", F.round("keep_rate", 4).alias("keep_rate")
+    )
+
+
+def _sql_sample_mixture() -> str:
+    wt = ",".join(f"('{s}', {w})" for s, w in _MIX_WEIGHTS.items())
+    return f"""
+WITH wt(source, w) AS (VALUES {wt}),
+sizes AS (
+  SELECT d.source, CAST(COUNT(*) AS DOUBLE) AS n, ANY_VALUE(w) AS w
+  FROM documents d JOIN wt USING (source)
+  WHERE w > 0
+  GROUP BY 1
+),
+cap AS (SELECT MIN(n / w) AS c FROM sizes),
+rates AS (
+  SELECT source, LEAST(1.0, c * w / n) AS keep_rate FROM sizes, cap
+)
+SELECT d.doc_id, d.source, round(r.keep_rate, 4) AS keep_rate
+FROM documents d
+JOIN rates r USING (source)
+WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':mix-v1'), 1, 8))::BIGINT
+      / 4294967296.0 < r.keep_rate
+"""
+
+
+SQL_sample_mixture = _sql_sample_mixture()
+
+
+def q_tfidf_keywords(spark, sf_dir):
+    """Top-3 TF-IDF keywords per document (content tagging / topic
+    sketch).  Rank over ROUNDED score with token tiebreak so the
+    result is total-ordered and hash-stable; the only window is
+    partitioned by document — no global sort anywhere."""
+    from replicator_spark.ops.text import tfidf_keywords
+
+    return tfidf_keywords(_load(spark, sf_dir, "documents"), k=3).select(
+        "doc_id", "token", F.col("rank").cast("long").alias("rank"), "score"
+    )
+
+
+SQL_tfidf_keywords = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+  FROM documents
+),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM documents),
+scored AS (
+  SELECT doc_id, token, round(tf * ln(nd / df), 4) AS score
+  FROM tf JOIN dfreq USING (token), n
+),
+ranked AS (
+  SELECT doc_id, token, score,
+         ROW_NUMBER() OVER (
+           PARTITION BY doc_id ORDER BY score DESC, token ASC
+         ) AS rank
+  FROM scored
+)
+SELECT doc_id, token, CAST(rank AS BIGINT) AS rank, score
+FROM ranked WHERE rank <= 3
+"""
+
+
+def q_ngram_novelty(spark, sf_dir):
+    """Pairless near-dup scoring: per doc, the share of its word
+    3-grams first seen in an EARLIER doc (by doc_id).  Late template
+    copies score ≈1, fresh text ≈0 — the incremental-crawl dedup
+    signal without candidate pairs.  Two gram-keyed shuffles, no
+    window, no O(n²) stage."""
+    from replicator_spark.ops.text import ngram_novelty
+
+    return ngram_novelty(_load(spark, sf_dir, "documents"), n=3)
+
+
+SQL_ngram_novelty = r"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+  FROM documents
+),
+idx AS (
+  SELECT doc_id, ws,
+         unnest(range(1, GREATEST(len(ws) - 2, 1) + 1)) AS i
+  FROM w
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(ws, i, i + 2), ' ') AS gram
+  FROM idx
+),
+first_seen AS (SELECT gram, MIN(doc_id) AS first_id FROM grams GROUP BY 1)
+SELECT g.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       round(AVG(CASE WHEN f.first_id < g.doc_id THEN 1.0 ELSE 0.0 END), 4)
+         AS seen_frac
+FROM grams g JOIN first_seen f USING (gram)
+GROUP BY 1
+"""
+
+
 def q_doc_chunking(spark, sf_dir):
     """Fixed-size token-window chunking with overlap (context-window
     preparation / long-doc RAG indexing) — pure JVM sequence→transform→
@@ -2630,6 +2745,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "sessionize_events": q_sessionize_events,
         "quality_unigram_logprob": q_quality_unigram_logprob,
+        "sample_mixture": q_sample_mixture,
+        "tfidf_keywords": q_tfidf_keywords,
+        "ngram_novelty": q_ngram_novelty,
         "source_mysql_binlog_decode": q_source_mysql_binlog_decode,
         "source_pg_wal_decode": q_source_pg_wal_decode,
         "source_mongo_changestream_decode": q_source_mongo_changestream_decode,
@@ -2703,6 +2821,9 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": SQL_pack_sequences,
         "sessionize_events": SQL_sessionize_events,
         "quality_unigram_logprob": SQL_quality_unigram_logprob,
+        "sample_mixture": SQL_sample_mixture,
+        "tfidf_keywords": SQL_tfidf_keywords,
+        "ngram_novelty": SQL_ngram_novelty,
         "source_mysql_binlog_decode": SQL_source_mysql_binlog_decode,
         "source_pg_wal_decode": SQL_source_pg_wal_decode,
         "source_mongo_changestream_decode": SQL_source_mongo_changestream_decode,

@@ -405,3 +405,168 @@ def unigram_logprob(
         )
         .select(F.col("_id").alias(id_col), "n_tokens", "avg_logprob")
     )
+
+
+def sample_mixture(
+    df: DataFrame,
+    weights: dict[str, float],
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    *,
+    salt: str = "mix-v1",
+) -> DataFrame:
+    """Deterministic corpus resampling to a target domain mixture —
+    the DoReMi/Pile-style "domain weights" primitive: given target
+    proportions per ``group_col`` value, keep the largest subcorpus
+    whose composition matches them exactly, selecting documents by
+    salted content hash (stable across runs and cluster sizes, no RNG).
+
+    The math: with group sizes ``n_g`` and target weights ``w_g``, the
+    binding group is the one minimizing ``n_g / w_g``; the achievable
+    total is ``C = min_g(n_g / w_g)`` and each group keeps
+    ``rate_g = C * w_g / n_g`` of its documents (the binding group
+    keeps 100%).  A document survives iff its md5 fraction
+    ``conv(md5-prefix)/2^32 < rate_g`` — the same threshold law as
+    ``hash_split``, so survivors are a stable subset property of the
+    document, not of the partitioning.
+
+    Scale shape: one tiny groupBy (|groups| rows) broadcast back — the
+    corpus-sized side never shuffles; the filter is a map-side
+    predicate.  Groups absent from ``weights`` are dropped (weight 0).
+
+    Returns the surviving rows of ``df`` plus ``keep_rate``.
+    """
+    wmap = F.create_map(
+        *[F.lit(x) for kv in weights.items() for x in kv]
+    )
+    sizes = (
+        df.groupBy(group_col)
+        .agg(F.count(F.lit(1)).cast("double").alias("_n"))
+        .withColumn("_w", wmap[F.col(group_col)])
+        .where(F.col("_w").isNotNull() & (F.col("_w") > 0))
+    )
+    binding = sizes.agg(F.min(F.col("_n") / F.col("_w")).alias("_cap"))
+    rates = sizes.crossJoin(F.broadcast(binding)).select(
+        group_col,
+        F.least(
+            F.lit(1.0), F.col("_cap") * F.col("_w") / F.col("_n")
+        ).alias("keep_rate"),
+    )
+    frac = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col(id_col).cast("string"), F.lit(":" + salt)
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(4294967296.0)
+    )
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .where(frac < F.col("keep_rate"))
+    )
+
+
+def tfidf_keywords(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    k: int = 3,
+    round_to: int = 4,
+) -> DataFrame:
+    """Top-``k`` TF-IDF keywords per document — the lightweight
+    content-tagging / topic-sketch pass of a curation pipeline.
+
+    ``score = tf * ln(N / df)`` with raw term counts and document
+    frequency over the whole corpus.  Ties break on token text so the
+    result is total-ordered and hash-stable.  Scale shape: explode →
+    per-(doc,token) count → token-keyed document-frequency agg joined
+    back (vocabulary-sized), then one window partitioned BY DOCUMENT —
+    no global sort, no single-partition stage anywhere.
+
+    Returns (id, token, rank, score).
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("token"),
+    )
+    tf = toks.groupBy("_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.agg(F.count(F.lit(1)).cast("double").alias("_n"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf") * F.log(F.col("_n") / F.col("df")), round_to
+            ),
+        )
+    )
+    w = Window.partitionBy("_id").orderBy(
+        F.col("score").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(F.col("_id").alias(id_col), "token", "rank", "score")
+    )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    n: int = 3,
+    round_to: int = 4,
+) -> DataFrame:
+    """Pairless near-duplication scoring: for each document, the share
+    of its word ``n``-grams that first appeared in an EARLIER document
+    (by ``id_col`` order).  A late near-copy of a template scores ≈1;
+    genuinely fresh text scores ≈0 — the dedup-aware curriculum /
+    incremental-crawl signal, without generating candidate pairs.
+
+    Scale shape: explode to (gram, doc) → gram-keyed min-doc agg →
+    join back → per-doc ratio.  Two shuffles on the gram key, no
+    window, no pairs; the gram side prunes to DISTINCT per doc first
+    so boilerplate repetition inside one doc doesn't inflate it.
+
+    Returns (id, n_grams, seen_frac).
+    """
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(1)))
+    grams = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.concat_ws(
+                    " ", F.slice(words, i, n)
+                ),
+            )
+        ).alias("gram"),
+    ).distinct()
+    first_seen = grams.groupBy("gram").agg(F.min("_id").alias("first_id"))
+    return (
+        grams.join(first_seen, "gram")
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.round(
+                F.avg((F.col("first_id") < F.col("_id")).cast("double")),
+                round_to,
+            ).alias("seen_frac"),
+        )
+        .select(F.col("_id").alias(id_col), "n_grams", "seen_frac")
+    )

@@ -176,3 +176,71 @@ def test_repetition_stats_gopher_thresholds(spark):
     assert out[0]["keep"] and out[0]["dup_line_frac"] == 0.0
     assert not out[1]["keep"] and out[1]["dup_line_frac"] == 0.8
     assert out[2]["total_lines"] == 3 and out[2]["dup_line_frac"] == round(2 / 3, 4)
+
+
+def test_sample_mixture_hits_target_proportions(spark):
+    from replicator_spark.ops.text import sample_mixture
+
+    # src0 is scarce relative to its weight → binding group, kept 100%
+    rows = (
+        [(i, "a", "src0") for i in range(100)]
+        + [(1000 + i, "b", "src1") for i in range(1000)]
+        + [(5000 + i, "c", "src2") for i in range(500)]
+        + [(9000 + i, "d", "srcX") for i in range(50)]  # unweighted: dropped
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = sample_mixture(df, {"src0": 0.5, "src1": 0.3, "src2": 0.2})
+    counts = {r["source"]: r["n"] for r in
+              out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert "srcX" not in counts
+    assert counts["src0"] == 100  # binding group survives whole
+    # achievable total C = 100/0.5 = 200 → targets 60 / 40; md5 sampling
+    # is exact-threshold, so allow binomial slack
+    assert abs(counts["src1"] - 60) <= 25
+    assert abs(counts["src2"] - 40) <= 20
+    # deterministic: same salt → identical survivor set
+    a = {r["doc_id"] for r in out.collect()}
+    b = {r["doc_id"] for r in
+         sample_mixture(df, {"src0": 0.5, "src1": 0.3, "src2": 0.2}).collect()}
+    assert a == b
+
+
+def test_tfidf_keywords_ranks_distinctive_tokens(spark):
+    from replicator_spark.ops.text import tfidf_keywords
+
+    df = spark.createDataFrame(
+        [
+            (1, "common common zebra zebra zebra"),
+            (2, "common common yak"),
+            (3, "common xylo xylo"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_keywords(df, k=2).collect()
+    top = {r["doc_id"]: r["token"] for r in out if r["rank"] == 1}
+    # 'common' appears in every doc → idf 0 → never the top keyword
+    assert top == {1: "zebra", 2: "yak", 3: "xylo"}
+    assert all(r["score"] >= 0 for r in out)
+    ranks = sorted((r["doc_id"], r["rank"]) for r in out)
+    assert ranks == [(1, 1), (1, 2), (2, 1), (2, 2), (3, 1), (3, 2)]
+
+
+def test_ngram_novelty_flags_late_copies(spark):
+    from replicator_spark.ops.text import ngram_novelty
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    df = spark.createDataFrame(
+        [
+            (1, base),                       # first: all grams fresh
+            (2, "one two three four five"),  # unrelated: fresh
+            (3, base),                       # exact late copy: all seen
+            (4, base + " iota"),             # near-copy: mostly seen
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in ngram_novelty(df, n=3).collect()}
+    assert out[1]["seen_frac"] == 0.0
+    assert out[2]["seen_frac"] == 0.0
+    assert out[3]["seen_frac"] == 1.0
+    assert 0.5 < out[4]["seen_frac"] < 1.0
+    assert out[1]["n_grams"] == 6  # 8 words → 6 distinct 3-grams

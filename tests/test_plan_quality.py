@@ -73,6 +73,7 @@ def test_no_python_eval_in_cdc_queries(spark):
         "boilerplate_lines", "dataset_split", "pii_redaction",
         "dedup_clusters", "decontaminate", "repetition_filter",
         "doc_chunking", "sessionize_events", "quality_unigram_logprob",
+        "sample_mixture", "tfidf_keywords", "ngram_novelty",
     ]
     qs = entry.queries()
     for name in jvm_only:
