@@ -159,6 +159,25 @@ class ManagementServer:
             info["breaker"] = breaker
         return info
 
+    def stream_metrics(self, name: str) -> dict:
+        """Per-stream counter totals from the metrics log (the
+        reference's GET /streams/<id>/metrics,
+        streams.go:386-390) — batches attributed by batch-key prefix."""
+        from . import commitlog as cl
+        from .metrics import _iter_rows
+
+        totals: dict[str, float] = {}
+        n = 0
+        for row in _iter_rows(os.path.join(self.table_root, "_metrics")):
+            p = cl.parse_batch_key(row.get("batch_key") or "")
+            if (p[0] if p else row.get("batch_key")) != name:
+                continue
+            n += 1
+            for k, v in row.items():
+                if isinstance(v, (int, float)) and k != "snapshot_version":
+                    totals[k] = totals.get(k, 0) + v
+        return {"stream": name, "batches": n, "totals": totals}
+
     def stream_action(self, name: str, action: str) -> dict:
         # streams.go:277-291 action vocabulary; divergence documented in
         # the module docstring (Spark job ⇒ pause/resume semantics).
@@ -181,17 +200,34 @@ class ManagementServer:
     def config_put(self, body: dict) -> list[str]:
         """Validate via the CLI's JobConfig law; on success replace the
         file atomically (the ``watch_config`` hot-reload picks it up at
-        the next micro-batch).  Returns validation errors ([] = ok)."""
+        the next micro-batch).  Changes to the watcher's PINNED identity
+        fields are rejected here too — the running job would refuse the
+        reload anyway (cli.py run_streaming_watched), and accepting the
+        write would leave a divergent on-disk config that silently takes
+        effect (with a fresh batch-id sequence) at the next restart.
+        Returns validation errors ([] = ok)."""
+        from . import commitlog as cl
         from .cli import JobConfig
 
         cfg = JobConfig.from_dict(body)  # raises on unknown keys
         errs = cfg.validate()
         if errs or not self.config_path:
             return errs or ["server has no config_path configured"]
-        tmp = self.config_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(body, f, indent=2)
-        os.replace(tmp, self.config_path)
+        current = self.config_get()
+        if current is not None:
+            # same pinned set as cli.run_streaming_watched's PINNED
+            pinned = ("name", "table_root", "checkpoint_dir", "feed_dir",
+                      "streaming")
+            cur_cfg = JobConfig.from_dict(current)
+            changed = [
+                f for f in pinned
+                if getattr(cfg, f) != getattr(cur_cfg, f)
+            ]
+            if changed:
+                return [f"pinned identity fields changed: {changed}"]
+        # unique-temp atomic publish (concurrent PUTs must never
+        # interleave into the same temp file)
+        cl._atomic_write(self.config_path, json.dumps(body, indent=2))
         return []
 
 
@@ -224,7 +260,8 @@ def _make_handler(srv: ManagementServer):
             if not srv.auth_tokens:
                 return True
             path = self.path.split("?")[0]
-            if path in ("/health", "/metrics"):
+            # include the trailing-slash aliases do_GET itself serves
+            if path in ("/health", "/health/", "/metrics", "/metrics/"):
                 return True
             hdr = self.headers.get("Authorization", "")
             if not hdr.startswith("Bearer "):
@@ -288,6 +325,8 @@ def _make_handler(srv: ManagementServer):
                     return self._error(404, f"unknown stream {name!r}")
                 if sub == "actions":
                     return self._error(405, "actions is POST-only")
+                if sub == "metrics":
+                    return self._send(200, srv.stream_metrics(name))
                 return self._send(200, info)
             return self._error(404, "not found")
 
@@ -297,6 +336,10 @@ def _make_handler(srv: ManagementServer):
             path = self.path.split("?")[0]
             m = _STREAM_RE.match(path)
             if m and m.group(2) == "actions" and m.group(1):
+                if srv.stream_get(m.group(1)) is None:
+                    # a typo'd name must not plant a phantom pause
+                    # marker (it would flip /health/ready to 503)
+                    return self._error(404, f"unknown stream {m.group(1)!r}")
                 try:
                     body = self._body()
                 except json.JSONDecodeError:

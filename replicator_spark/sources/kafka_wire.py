@@ -157,6 +157,8 @@ def decode_segment(data: bytes) -> list[dict]:
     out, off = [], 0
     while off + 12 <= len(data):
         base_off, blen = struct.unpack_from(">qi", data, off)
+        if blen < 49:  # epoch+magic+crc (9) + fixed batch tail (40)
+            raise ValueError(f"invalid batch length {blen}")
         body = data[off + 12 : off + 12 + blen]
         if len(body) < blen:
             raise ValueError("torn record batch")

@@ -126,6 +126,20 @@ def test_stream_actions_pause_resume_cycle(served):
     assert _req(
         base + "/streams/feed/actions", method="POST", body={}
     )[0] == 400
+    # typo'd stream: 404, and no phantom pause marker planted
+    assert _req(
+        base + "/streams/fede/actions", method="POST", body={"action": "pause"}
+    )[0] == 404
+    assert not lifecycle.is_paused(root, "fede")
+    assert _req(base + "/health/ready")[0] == 200
+
+
+def test_stream_metrics_endpoint(served):
+    _, base, _ = served
+    m = _j(_req(base + "/streams/feed/metrics"))
+    assert m["stream"] == "feed" and m["batches"] >= 2
+    assert m["totals"]["applied"] > 0 and m["totals"]["received"] > 0
+    assert _req(base + "/streams/nosuch/metrics")[0] == 404
 
 
 def test_config_get_put_validation(served):
@@ -147,6 +161,13 @@ def test_config_get_put_validation(served):
     code, _, _ = _req(base + "/config", method="PUT", body=good)
     assert code == 200
     assert _j(_req(base + "/config"))["compact_after_deltas"] == 5
+    # pinned identity fields: the running watcher would refuse the
+    # reload, so the PUT must refuse too (not leave a divergent file
+    # that takes effect with fresh batch ids at next restart)
+    pinned = dict(good, feed_dir=good["feed_dir"] + "_moved")
+    code, _, body = _req(base + "/config", method="PUT", body=pinned)
+    assert code == 422 and "pinned" in json.loads(body)["errors"][0]
+    assert _j(_req(base + "/config"))["feed_dir"] == good["feed_dir"]
 
 
 def test_bearer_auth_skips_health_and_metrics(spark, tmp_path):
@@ -159,8 +180,11 @@ def test_bearer_auth_skips_health_and_metrics(spark, tmp_path):
     base = srv.start()
     try:
         # the reference skips auth for exactly /health and /metrics
+        # (including the trailing-slash aliases the GET handler serves)
         assert _req(base + "/health")[0] in (200, 503)
         assert _req(base + "/metrics")[0] == 200
+        assert _req(base + "/health/")[0] in (200, 503)
+        assert _req(base + "/metrics/")[0] == 200
         assert _req(base + "/streams")[0] == 401
         assert _req(base + "/")[0] == 401
         assert _req(base + "/health/ready")[0] == 401  # not in skip list

@@ -67,6 +67,13 @@ def test_decode_rejects_corruption():
         decode_segment(bytes(badmagic))
     with pytest.raises(ValueError, match="torn record batch"):
         decode_segment(bytes(raw[:-3]))
+    shortlen = raw.copy()  # batchLength torn to a tiny/negative value
+    struct.pack_into(">i", shortlen, 8, 3)
+    with pytest.raises(ValueError, match="invalid batch length"):
+        decode_segment(bytes(shortlen))
+    struct.pack_into(">i", shortlen, 8, -5)
+    with pytest.raises(ValueError, match="invalid batch length"):
+        decode_segment(bytes(shortlen))
     with pytest.raises(ValueError, match="trailing bytes"):
         decode_segment(bytes(raw) + b"\x00\x01")
 

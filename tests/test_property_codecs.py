@@ -39,9 +39,15 @@ _scalar = st.one_of(
     ).map(lambda t: BsonTimestamp(*t)),
 )
 
-# keys: no NUL (cstring framing), no '.' (BSON path convention)
+# keys: no NUL (cstring framing), no '.' (BSON path convention), no
+# surrogates (not UTF-8-encodable — st.characters does not exclude
+# them by default the way st.text()'s default alphabet does)
 _key = st.text(
-    alphabet=st.characters(blacklist_characters="\x00."), min_size=1, max_size=20
+    alphabet=st.characters(
+        blacklist_characters="\x00.", blacklist_categories=("Cs",)
+    ),
+    min_size=1,
+    max_size=20,
 )
 
 _value = st.recursive(
