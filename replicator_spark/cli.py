@@ -46,6 +46,11 @@ class JobConfig:
     # reference QualityOfService vocabulary (pkg/models/types.go:127-134):
     # {"retry_policy": {...}, "circuit_breaker": {...}} — see qos.py
     qos: dict | None = None
+    # run the management HTTP API beside the job (the reference's
+    # API-server-plus-stream-runner process shape, cmd/replicator).
+    # 0 = ephemeral port (printed as a "serving" JSON line). Not
+    # hot-reloadable: a serve_port change takes effect at next start.
+    serve_port: int | None = None
 
     @staticmethod
     def from_dict(d: dict) -> "JobConfig":
@@ -214,6 +219,28 @@ def run_streaming_watched(spark, cfg: JobConfig, table, config_path: str | None)
 
 
 def cmd_run(cfg: JobConfig, config_path: str | None = None) -> int:
+    mgmt = None
+    if cfg.serve_port is not None:
+        # start before the (15s) JVM spin-up so liveness probes answer
+        # from the first moment of the process's life
+        from .http_api import ManagementServer
+
+        mgmt = ManagementServer(
+            cfg.table_root,
+            config_path=config_path,
+            feed_dir=cfg.feed_dir,
+            checkpoint_dir=cfg.checkpoint_dir,
+            port=cfg.serve_port,
+        )
+        print(json.dumps({"serving": mgmt.start()}), flush=True)
+    try:
+        return _cmd_run_job(cfg, config_path)
+    finally:
+        if mgmt is not None:
+            mgmt.stop()
+
+
+def _cmd_run_job(cfg: JobConfig, config_path: str | None) -> int:
     from .laketable import LakeTable
     from .model import REPOS_SCHEMA
     from .pipeline import replay_feed

@@ -228,6 +228,49 @@ def test_cli_serve_subprocess(served):
         assert proc.wait(timeout=10) == 0
 
 
+def test_run_with_serve_port_exposes_api_during_job(spark, tmp_path):
+    """`run` with serve_port starts the management API beside the job
+    (the reference's API-server-plus-runner process shape) — liveness
+    answers before the JVM finishes spinning up, and the server is torn
+    down when the job exits."""
+    import subprocess
+    import sys as _sys
+    import time
+
+    feed = str(tmp_path / "feed")
+    write_feed(gen_changes(spark, 3000, n_repos=6, n_batches=3), feed)
+    cfg = {
+        "name": "servejob", "feed_dir": feed,
+        "table_root": str(tmp_path / "table"),
+        "streaming": False, "mode": "mor", "num_buckets": 4,
+        "serve_port": 0,
+    }
+    cfg_path = str(tmp_path / "job.json")
+    with open(cfg_path, "w") as f:
+        json.dump(cfg, f)
+    proc = subprocess.Popen(
+        [_sys.executable, "-m", "replicator_spark.cli", "run",
+         "--config", cfg_path],
+        stdout=subprocess.PIPE, text=True, cwd="/root/repo",
+    )
+    try:
+        base = json.loads(proc.stdout.readline())["serving"]
+        # probe while the job is still inside JVM startup / replay
+        assert _req(base + "/health/live")[0] == 200
+        assert _req(base + "/streams")[0] == 200  # pre-create: empty list
+        out, _ = proc.communicate(timeout=300)
+        assert proc.returncode == 0
+        result = json.loads(out.strip().splitlines()[-1])
+        assert result["live_rows"] > 0
+        # server torn down with the job
+        with pytest.raises(Exception):
+            _req(base + "/health/live")
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+        time.sleep(0)
+
+
 def test_404_and_method_guards(served):
     _, base, _ = served
     assert _req(base + "/nope")[0] == 404

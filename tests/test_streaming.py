@@ -3,6 +3,7 @@ without duplicate or lost applies, additive schema evolution mid-stream
 (north_star requirements)."""
 
 import hashlib
+import json
 import time
 
 import pytest
@@ -309,7 +310,7 @@ def test_type_conflict_mid_stream(spark, tmp_path):
 
 
 def test_live_trigger_soak_pause_breaker_and_concurrent_consumer(
-    spark, tmp_path, monkeypatch
+    spark, tmp_path, monkeypatch, request
 ):
     """VERDICT r03 #8 (live-trigger soak): a processingTime stream over a
     GROWING feed, with a concurrent read_changes consumer, a transient
@@ -356,6 +357,31 @@ def test_live_trigger_soak_pause_breaker_and_concurrent_consumer(
     root, ckpt = str(tmp_path / "t"), str(tmp_path / "ckpt")
     table = LakeTable(spark, root)
     table.create(REPOS_SCHEMA, num_buckets=4)
+
+    # management API runs BESIDE the live stream (the reference's
+    # process shape); drive the resume through it and probe health at
+    # each phase — concurrent HTTP handlers against a table mid-write
+    import urllib.error
+    import urllib.request
+
+    from replicator_spark.http_api import ManagementServer
+
+    mgmt = ManagementServer(root, feed_dir=feed, checkpoint_dir=ckpt,
+                            freshness_s=3600)
+    api = mgmt.start()
+    request.addfinalizer(mgmt.stop)
+
+    def http(path, method="GET", body=None):
+        req = urllib.request.Request(api + path, method=method)
+        data = None
+        if body is not None:
+            data = json.dumps(body).encode()
+            req.add_header("Content-Type", "application/json")
+        try:
+            with urllib.request.urlopen(req, data=data, timeout=10) as r:
+                return r.status, json.loads(r.read() or b"{}")
+        except urllib.error.HTTPError as e:
+            return e.code, json.loads(e.read() or b"{}")
 
     # induced sink outages, keyed by ledger batch key; -1 = until cleared
     fails = {"live-1": 2}
@@ -424,6 +450,11 @@ def test_live_trigger_soak_pause_breaker_and_concurrent_consumer(
         assert fails["live-1"] == 0  # the outage really happened
         # the open->...->closed transitions were persisted for health
         assert lifecycle.breaker_states(root)["live"]["state"] == "closed"
+        # API sees the live stream while micro-batches are committing
+        code, body = http("/streams")
+        assert code == 200
+        assert "live" in [s["name"] for s in body["streams"]]
+        assert http("/health")[0] == 200
 
         # phase 2: persistent outage on live-3; pause lands DURING the
         # open-circuit wait -> clean stop (no crash), batch NOT in WAL
@@ -440,11 +471,18 @@ def test_live_trigger_soak_pause_breaker_and_concurrent_consumer(
         if q.isActive:
             q.stop()
     assert table.is_committed("live-3") is None  # failed batch not applied
+    # paused + persisted-open breaker → not ready over HTTP
+    code, h = http("/health/ready")
+    assert code == 503 and not h["healthy"]
 
-    # phase 3: outage over, resume; restart re-delivers live-3 from the
-    # WAL, then the feed keeps growing
+    # phase 3: outage over, resume THROUGH THE API; restart re-delivers
+    # live-3 from the WAL, then the feed keeps growing
     fails.pop("live-3")
-    lifecycle.resume(root, "live")
+    code, body = http(
+        "/streams/live/actions", method="POST", body={"action": "resume"}
+    )
+    assert code == 200 and body["success"]
+    assert not lifecycle.is_paused(root, "live")
     q = start()
     try:
         wait_for(
@@ -471,6 +509,10 @@ def test_live_trigger_soak_pause_breaker_and_concurrent_consumer(
     got = {k: v[2] for k, v in state.items() if not v[1]}
     want = {(r["repo"], r["path"], r["commit"]): r["content"] for r in live.collect()}
     assert got == want
-    # and the job is healthy again end-to-end
+    # and the job is healthy again end-to-end — over HTTP too, with
+    # per-stream metrics accounted for every applied batch
     h = lifecycle.health(root, feed_dir=feed, checkpoint_dir=ckpt, freshness_s=3600)
     assert h["healthy"], h
+    assert http("/health")[0] == 200
+    code, m = http("/streams/live/metrics")
+    assert code == 200 and m["batches"] >= 6 and m["totals"]["applied"] > 0
