@@ -53,6 +53,21 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def affine_constants(num_hashes: int, seed: int = 42):
+    """The (a_i, b_i) of the universal affine family h_i(x) = a_i·x+b_i
+    mod 2^64 — odd multipliers (bijections), shared by the numpy kernel
+    and the DuckDB oracle builder (the constants must be THE SAME
+    stream or hash-parity is meaningless)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    a = (
+        rng.integers(0, 2**63, size=num_hashes, dtype=np.uint64) << np.uint64(1)
+    ) | np.uint64(1)
+    b = rng.integers(0, 2**63, size=num_hashes, dtype=np.uint64)
+    return a, b
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -62,6 +77,7 @@ def minhash_signatures(
     num_hashes: int = 128,
     seed: int = 42,
     impl: str = "arrow",
+    base_hash: str = "xxhash64",
 ) -> DataFrame:
     """id → array<long> of ``num_hashes`` min-hash values.
 
@@ -74,6 +90,15 @@ def minhash_signatures(
     * ``impl="jvm"``: k independent xxhash64 passes
       (h_i(s) = xxhash64(s, seed+i)) with array_min — zero Python, but
       each pass re-hashes every shingle string.
+
+    ``base_hash`` selects the one-pass shingle hash feeding the
+    permutations: ``"xxhash64"`` (default, fastest) or ``"sha2_60"`` —
+    a 60-bit sha2-derived hash DuckDB reproduces exactly
+    (``('0x'||substr(sha256(s),1,15))::BIGINT``), the same trick that
+    oracle-gated simhash; the affine kernel is IDENTICAL either way,
+    so the contract query exercises the real permutation/min machinery
+    under the hash gate while the library default stays xxhash64.
+    (arrow impl only; the jvm impl is inherently xxhash64-seeded.)
     """
     sh = shingle_expr(text_col, shingle_n).alias("_sh")
     base = df.select(F.col(id_col), sh)
@@ -83,10 +108,7 @@ def minhash_signatures(
 
         import numpy as np
 
-        rng = np.random.default_rng(seed)
-        # odd multipliers → bijections mod 2^64
-        a_ = (rng.integers(0, 2**63, size=num_hashes, dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
-        b_ = rng.integers(0, 2**63, size=num_hashes, dtype=np.uint64)
+        a_, b_ = affine_constants(num_hashes, seed)
 
         @pandas_udf("array<long>")
         def _sig_pd(sh_hashes: pd.Series) -> pd.Series:
@@ -113,8 +135,21 @@ def minhash_signatures(
                         out[nonempty, i] = np.minimum.reduceat(perm, seg)
             return pd.Series(list(out))
 
-        h0 = F.transform(F.col("_sh"), lambda s: F.xxhash64(s, F.lit(seed)))
+        if base_hash == "sha2_60":
+            h0 = F.transform(
+                F.col("_sh"),
+                lambda s: F.conv(
+                    F.substring(F.sha2(s, 256), 1, 15), 16, 10
+                ).cast("long"),
+            )
+        elif base_hash == "xxhash64":
+            h0 = F.transform(F.col("_sh"), lambda s: F.xxhash64(s, F.lit(seed)))
+        else:
+            raise ValueError(f"unknown base_hash {base_hash!r}")
         return base.select(id_col, _sig_pd(h0).alias("signature"))
+
+    if base_hash != "xxhash64":
+        raise ValueError("base_hash selection requires impl='arrow'")
 
     def _minhash(i: int):
         # NB: close over the seed column; an extra lambda param (even

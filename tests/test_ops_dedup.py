@@ -232,3 +232,31 @@ def test_library_default_banding_is_selective(spark):
     cand = minhash_lsh_candidates(sigs)  # library defaults
     share = cand.count() / (n * (n - 1) // 2)
     assert share < 0.02, share
+
+
+def test_minhash_base_hash_variants(spark):
+    """base_hash='sha2_60' feeds the SAME affine kernel a DuckDB-
+    reproducible base hash (the oracle gate); xxhash64 stays default."""
+    import pytest as _pytest
+
+    from replicator_spark.ops.dedup_text import minhash_signatures
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
+         (3, "completely different text")],
+        "doc_id long, text string",
+    )
+    s60 = {r["doc_id"]: list(r["signature"])
+           for r in minhash_signatures(docs, num_hashes=16,
+                                       base_hash="sha2_60").collect()}
+    sxx = {r["doc_id"]: list(r["signature"])
+           for r in minhash_signatures(docs, num_hashes=16).collect()}
+    # identical docs → identical signatures under either base hash
+    assert s60[1] == s60[2] and sxx[1] == sxx[2]
+    assert s60[1] != s60[3] and sxx[1] != sxx[3]
+    # different base hash → different signature stream, same shape
+    assert s60[1] != sxx[1] and len(s60[1]) == len(sxx[1]) == 16
+    with _pytest.raises(ValueError, match="impl='arrow'"):
+        minhash_signatures(docs, impl="jvm", base_hash="sha2_60")
+    with _pytest.raises(ValueError, match="unknown base_hash"):
+        minhash_signatures(docs, base_hash="md5").count()
