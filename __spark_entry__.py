@@ -2281,9 +2281,12 @@ def q_minhash_lsh(spark, sf_dir):
     recomputes the signatures exactly ((a·x+b) mod 2^64 via HUGEINT,
     min over the SIGNED interpretation like the kernel's int64 view),
     re-bands them, and regenerates pairs + star edges + stats from
-    scratch.  Hash-equality proves the permutation kernel, the banding,
-    the pair explosion, the oversized-star path, and the accounting in
-    one gate.  The library default stays xxhash64 (faster; same kernel).
+    scratch.  A 60-copy template family is planted (mirrored in the
+    SQL) so the oversized-star branch contributes real rows to the
+    comparison — hash-equality proves the permutation kernel, the
+    banding, the pair explosion, the star path, and the accounting in
+    one gate, none of it vacuously.  The library default stays
+    xxhash64 (faster; same kernel).
 
     The bucket accounting rides along on every row ("no silent caps",
     VERDICT r03 #1): oversized buckets contribute O(n) star edges, and
@@ -2307,14 +2310,29 @@ def q_minhash_lsh(spark, sf_dir):
     # Band ONCE: the bucket frame is checkpointed and feeds both the
     # candidate pairs and the stats row — without this the 128-hash
     # signature + banding shuffle would execute twice.
+    # Plant a 60-copy template family (deterministic, mirrored in the
+    # SQL) so the OVERSIZED star branch produces rows UNDER the gate —
+    # without it the synthetic corpus tops out at bucket size ~5 and the
+    # star path would be vacuously compared (empty vs empty).
+    planted = docs.where(F.col("doc_id") < 60).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.lit(_TEMPLATE_TEXT).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(planted)
     sized = lsh_band_buckets(
-        minhash_signatures(docs, num_hashes=128, base_hash="sha2_60"),
+        minhash_signatures(corpus, num_hashes=128, base_hash="sha2_60"),
         "doc_id",
         16,
     ).localCheckpoint(eager=True)
     cands = bucket_candidate_pairs(sized, max_bucket=50)
     stats = bucket_stats(sized, max_bucket=50)
     return cands.crossJoin(F.broadcast(stats))
+
+
+_TEMPLATE_TEXT = (
+    "all rights reserved terms of service privacy policy cookie notice "
+    "subscribe to our newsletter for updates contact us about careers"
+)
 
 
 def _sql_minhash_lsh() -> str:
@@ -2326,9 +2344,15 @@ def _sql_minhash_lsh() -> str:
     )
     return f"""
 WITH consts(i, a, b) AS (VALUES {consts}),
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id, '{_TEMPLATE_TEXT}' AS text
+  FROM documents WHERE doc_id < 60
+),
 idx AS (
   SELECT doc_id, text, unnest(range(1, GREATEST(length(text) - 4, 1) + 1)) AS p
-  FROM documents
+  FROM corpus
 ),
 sh AS (SELECT DISTINCT doc_id, substr(text, p, 5) AS s FROM idx),
 hx AS (SELECT doc_id, ('0x' || substr(sha256(s), 1, 15))::BIGINT AS x FROM sh),

@@ -49,8 +49,13 @@ class JobConfig:
     # run the management HTTP API beside the job (the reference's
     # API-server-plus-stream-runner process shape, cmd/replicator).
     # 0 = ephemeral port (printed as a "serving" JSON line). Not
-    # hot-reloadable: a serve_port change takes effect at next start.
+    # hot-reloadable: a serve_* change takes effect at next start.
+    # serve_auth_tokens mirrors `cli serve --auth-token` (bearer auth,
+    # /health + /metrics exempt) so the integrated shape does not
+    # silently lose the auth the standalone server has.
     serve_port: int | None = None
+    serve_host: str = "127.0.0.1"
+    serve_auth_tokens: list[str] = field(default_factory=list)
 
     @staticmethod
     def from_dict(d: dict) -> "JobConfig":
@@ -70,6 +75,12 @@ class JobConfig:
             errs.append("streaming jobs require checkpoint_dir")
         if not self.feed_dir or not self.table_root:
             errs.append("feed_dir and table_root are required")
+        if self.serve_port is not None and (
+            not isinstance(self.serve_port, int)
+            or isinstance(self.serve_port, bool)
+            or not 0 <= self.serve_port <= 65535
+        ):
+            errs.append(f"serve_port must be an int in [0, 65535], got {self.serve_port!r}")
         return errs
 
 
@@ -230,6 +241,8 @@ def cmd_run(cfg: JobConfig, config_path: str | None = None) -> int:
             config_path=config_path,
             feed_dir=cfg.feed_dir,
             checkpoint_dir=cfg.checkpoint_dir,
+            auth_tokens=tuple(cfg.serve_auth_tokens),
+            host=cfg.serve_host,
             port=cfg.serve_port,
         )
         print(json.dumps({"serving": mgmt.start()}), flush=True)

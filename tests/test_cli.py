@@ -579,3 +579,16 @@ def test_metrics_roll_same_millisecond_no_overwrite(tmp_path, monkeypatch):
     assert len(segs) == 3, segs  # one segment per roll, none lost
     rows = list(m._iter_rows(d))
     assert {r["batch_key"] for r in rows} == {"b0", "b1", "b2"}
+
+
+def test_validate_serve_port_and_auth_fields(tmp_path):
+    from replicator_spark.cli import JobConfig
+
+    base = dict(name="j", feed_dir="/f", table_root="/t", streaming=False)
+    assert JobConfig.from_dict(dict(base, serve_port=0)).validate() == []
+    assert JobConfig.from_dict(dict(base, serve_port=8080)).validate() == []
+    for bad in ("8080", -1, 65536, True):
+        errs = JobConfig.from_dict(dict(base, serve_port=bad)).validate()
+        assert any("serve_port" in e for e in errs), bad
+    cfg = JobConfig.from_dict(dict(base, serve_auth_tokens=["tok"]))
+    assert cfg.serve_auth_tokens == ["tok"] and cfg.serve_host == "127.0.0.1"

@@ -235,7 +235,6 @@ def test_run_with_serve_port_exposes_api_during_job(spark, tmp_path):
     down when the job exits."""
     import subprocess
     import sys as _sys
-    import time
 
     feed = str(tmp_path / "feed")
     write_feed(gen_changes(spark, 3000, n_repos=6, n_batches=3), feed)
@@ -268,7 +267,6 @@ def test_run_with_serve_port_exposes_api_during_job(spark, tmp_path):
     finally:
         if proc.poll() is None:
             proc.kill()
-        time.sleep(0)
 
 
 def test_404_and_method_guards(served):
