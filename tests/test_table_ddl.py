@@ -62,11 +62,16 @@ def test_streaming_progress_listener(spark, tmp_path):
     listener = attach_progress_listener(spark, out)
     try:
         run_stream_to_completion(spark, feed, t, str(tmp_path / "ckpt"))
-        deadline = time.time() + 15
-        while time.time() < deadline and not os.path.exists(out):
-            time.sleep(0.3)
-        assert os.path.exists(out)
-        lines = [json.loads(l) for l in open(out) if l.strip()]
+        # listener events are ASYNC: the file can exist before the first
+        # progress line lands — wait for content, not existence (the
+        # existence-only wait flaked under a concurrently-loaded machine)
+        deadline = time.time() + 30
+        lines = []
+        while time.time() < deadline and not lines:
+            if os.path.exists(out):
+                lines = [json.loads(l) for l in open(out) if l.strip()]
+            if not lines:
+                time.sleep(0.3)
         assert lines and "batchId" in lines[0]
     finally:
         spark.streams.removeListener(listener)
