@@ -25,6 +25,7 @@ per-partition total order the reference's checkpoint relies on.
 from __future__ import annotations
 
 import os
+import re
 import struct
 
 # CRC32C (Castagnoli), reflected polynomial 0x82F63B78 — table-driven.
@@ -213,35 +214,67 @@ def decode_segment(data: bytes) -> list[dict]:
     return out
 
 
+_PARTITION_RE = re.compile(r"partition=(\d+)")
+
+
 def read_kafka_segments(spark, segment_dir: str, *, topic: str):
     """Decode a directory of recorded log segments into the frame
-    ``from_kafka_messages`` consumes: (seq, topic, key, value) with
-    ``seq`` = the record offset — the partition's native total order
-    (the reference lets the consumer group own it,
-    ``kafka_stream.go:206-224``).  Tombstones (null value) surface as
-    NULL and are dropped by the normalizer's non-JSON guard, matching
-    the reference's log-and-skip."""
+    ``from_kafka_messages`` consumes: (seq, topic, partition, offset,
+    key, value).  Multi-partition topics use the broker's own on-disk
+    layout — ``<dir>/partition=N/<baseOffset>.log`` — and the partition
+    id is recovered from the path (a flat directory is partition 0).
+
+    ``seq`` composes ``(partition << 40) | offset``: totally ordered
+    WITHIN a partition, arbitrary across partitions — exactly Kafka's
+    delivery contract (the reference's consumer group makes no
+    cross-partition promise either, ``kafka_stream.go:206-224``), and
+    what the LWW merge needs when producers key messages by entity (a
+    key lives in one partition, so its updates are seq-ordered).  2^40
+    offsets per partition; beyond that a recorded segment replay should
+    re-base offsets, and the decoder raises rather than alias.
+    Tombstones (null value) surface as NULL and are dropped by the
+    normalizer's non-JSON guard, matching the reference's log-and-skip.
+    """
     import pandas as pd
 
-    files = spark.read.format("binaryFile").load(segment_dir)
-    schema = "seq long, topic string, key string, value string"
+    files = (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true")
+        .load(segment_dir)
+    )
+    schema = (
+        "seq long, topic string, partition int, offset long, "
+        "key string, value string"
+    )
 
     def _decode(it):
         for pdf in it:
             rows = []
-            for content in pdf["content"]:
+            for path, content in zip(pdf["path"], pdf["content"]):
+                m = _PARTITION_RE.search(path)
+                part = int(m.group(1)) if m else 0
                 for r in decode_segment(bytes(content)):
+                    if r["offset"] >= 1 << 40:
+                        raise ValueError(
+                            f"offset {r['offset']} exceeds the 2^40 seq "
+                            "budget; re-base the recorded segment"
+                        )
                     rows.append(
                         (
-                            r["offset"],
+                            (part << 40) | r["offset"],
                             topic,
+                            part,
+                            r["offset"],
                             None if r["key"] is None else r["key"].decode(),
                             None if r["value"] is None else r["value"].decode(),
                         )
                     )
-            yield pd.DataFrame(rows, columns=["seq", "topic", "key", "value"])
+            yield pd.DataFrame(
+                rows,
+                columns=["seq", "topic", "partition", "offset", "key", "value"],
+            )
 
-    return files.select("content").mapInPandas(_decode, schema=schema)
+    return files.select("path", "content").mapInPandas(_decode, schema=schema)
 
 
 __all__ = [

@@ -90,6 +90,40 @@ def test_batch_header_is_the_61_byte_v2_layout():
     assert n == 1
 
 
+def test_multi_partition_layout_and_seq_composition(spark, tmp_path):
+    """Broker-layout directories (partition=N/<baseOffset>.log): the
+    partition id comes from the path, seq = (partition<<40)|offset —
+    per-partition total order, Kafka's actual delivery contract."""
+    for part in (0, 1, 5):
+        w = KafkaSegmentWriter()
+        w.append_batch(
+            [(b"k", json.dumps({"data": json.dumps({"p": part, "n": i})}).encode())
+             for i in range(3)]
+        )
+        w.save(str(tmp_path / f"partition={part}" / "00000000000000000000.log"))
+
+    feed = read_kafka_segments(spark, str(tmp_path), topic="t")
+    rows = feed.orderBy("seq").collect()
+    assert len(rows) == 9
+    assert sorted({r["partition"] for r in rows}) == [0, 1, 5]
+    for r in rows:
+        assert r["seq"] == (r["partition"] << 40) | r["offset"]
+    # per-partition offsets independent: each partition sees 0,1,2
+    per = {}
+    for r in rows:
+        per.setdefault(r["partition"], []).append(r["offset"])
+    assert all(v == [0, 1, 2] for v in per.values())
+
+
+def test_offset_beyond_seq_budget_raises(spark, tmp_path):
+    w = KafkaSegmentWriter(base_offset=1 << 40)
+    w.append_batch([(b"k", b"{}")])
+    w.save(str(tmp_path / "partition=0" / "big.log"))
+    feed = read_kafka_segments(spark, str(tmp_path), topic="t")
+    with pytest.raises(Exception, match="seq budget"):
+        feed.collect()
+
+
 def test_spark_kafka_segment_feed_normalizes(spark, tmp_path):
     from replicator_spark.sources.normalize import from_kafka_messages
 
