@@ -84,6 +84,125 @@ class KeyedLogSink(Sink):
         )
 
 
+class KafkaWireSink(Sink):
+    """Kafka-producer estuary emitting REAL RecordBatch v2 wire bytes
+    into the broker's own on-disk layout (``partition=N/
+    <baseOffset>.log``) — the recorded-log counterpart of
+    ``pkg/estuary/kafka.go``'s produce path, closing the loop with
+    ``sources.kafka_wire.read_kafka_segments`` (what this sink produces,
+    the source decodes — full produce→decode roundtrip under test).
+
+    Same deliberate KEYING divergence as KeyedLogSink (SURVEY §7.4):
+    the reference produces keyless messages → random partition →
+    ordering loss; here key = repo/path/commit and partition =
+    hash(key) % N, so per-key order is preserved — which is also what
+    makes the composed seq ``(partition<<40)|offset`` a valid LWW
+    ordering for re-ingestion.
+
+    Scale shape: executors encode one RecordBatch per partition per
+    micro-batch (Arrow in, wire bytes out); the driver assigns base
+    offsets by patching each batch's 8-byte baseOffset header — which
+    sits OUTSIDE the CRC'd region (attributes..end), so no re-CRC — and
+    appends the segment file. Bytes transit the driver exactly like a
+    producer→broker hop; with a real broker this whole sink is
+    ``df.write.format("kafka")`` with the same key expression.
+    """
+
+    def __init__(self, out_dir: str, *, num_partitions: int = 4):
+        self.out_dir = out_dir
+        self.num_partitions = num_partitions
+        self.name = f"kafkawire:{out_dir}"
+
+    def write(self, prepared: DataFrame, batch_key: str) -> None:
+        import pandas as pd
+
+        from .sources.kafka_wire import KafkaSegmentWriter
+
+        kcols = [k for k in KEY_COLS if k in prepared.columns]
+        out = prepared.select(
+            F.concat_ws("/", *[F.col(k) for k in kcols]).alias("key"),
+            F.to_json(F.struct(*[F.col(c) for c in prepared.columns])).alias(
+                "value"
+            ),
+            F.pmod(F.xxhash64(*[F.col(k) for k in kcols]), F.lit(self.num_partitions))
+            .cast("int")
+            .alias("partition"),
+        )
+
+        def _encode(pdf):
+            pdf = pdf.sort_values(["key", "value"], ignore_index=True)
+            w = KafkaSegmentWriter()
+            w.append_batch(
+                [
+                    (k.encode(), v.encode())
+                    for k, v in zip(pdf["key"], pdf["value"])
+                ]
+            )
+            return pd.DataFrame(
+                {
+                    "partition": [int(pdf["partition"].iloc[0])],
+                    "seg": [bytes(w.buf)],
+                }
+            )
+
+        segs = (
+            out.repartition(self.num_partitions, F.col("partition"))
+            .groupBy("partition")
+            .applyInPandas(_encode, "partition int, seg binary")
+            .collect()
+        )
+        for r in sorted(segs, key=lambda r: r["partition"]):
+            self._append(r["partition"], bytes(r["seg"]))
+
+    # -- driver-side offset assignment ------------------------------------
+
+    def _append(self, part: int, seg: bytes) -> None:
+        import os
+        import struct
+
+        d = os.path.join(self.out_dir, f"partition={part}")
+        os.makedirs(d, exist_ok=True)
+        base = self._next_offset(d)
+        patched = bytearray(seg)
+        pos = 0
+        while pos + 12 <= len(patched):
+            (old,) = struct.unpack_from(">q", patched, pos)
+            struct.pack_into(">q", patched, pos, old + base)
+            (blen,) = struct.unpack_from(">i", patched, pos + 8)
+            pos += 12 + blen
+        tmp = os.path.join(d, f".{base:020d}.log.tmp")
+        final = os.path.join(d, f"{base:020d}.log")
+        with open(tmp, "wb") as f:
+            f.write(patched)
+        os.rename(tmp, final)
+
+    @staticmethod
+    def _next_offset(d: str) -> int:
+        """Next base offset for a partition dir: last segment's name
+        (its base) plus its record count — headers only, no record
+        decode."""
+        import os
+        import struct
+
+        segs = sorted(f for f in os.listdir(d) if f.endswith(".log"))
+        if not segs:
+            return 0
+        last = os.path.join(d, segs[-1])
+        base = int(segs[-1][: -len(".log")])
+        n = 0
+        with open(last, "rb") as f:
+            data = f.read()
+        pos = 0
+        while pos + 12 <= len(data):
+            (blen,) = struct.unpack_from(">i", data, pos + 8)
+            # recordCount sits 57 bytes into the batch (8+4+4+1+4+2+4+
+            # 8+8+8+2+4), fixed v2 layout
+            (cnt,) = struct.unpack_from(">i", data, pos + 57)
+            n += cnt
+            pos += 12 + blen
+        return base + n
+
+
 class ConsoleSink(Sink):
     name = "console"
 
