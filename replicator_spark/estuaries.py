@@ -58,6 +58,21 @@ class LakeSink(Sink):
         )
 
 
+def _keyed_kv(prepared: DataFrame, num_partitions: int) -> DataFrame:
+    """The shared producer projection — key = repo/path/commit, value =
+    full-row JSON, partition = hash(key) % N.  ONE definition: the
+    KeyedLogSink and KafkaWireSink key→partition laws must agree (the
+    SURVEY §7.4 ordering divergence depends on it)."""
+    kcols = [k for k in KEY_COLS if k in prepared.columns]
+    return prepared.select(
+        F.concat_ws("/", *[F.col(k) for k in kcols]).alias("key"),
+        F.to_json(F.struct(*[F.col(c) for c in prepared.columns])).alias("value"),
+        F.pmod(F.xxhash64(*[F.col(k) for k in kcols]), F.lit(num_partitions))
+        .cast("int")
+        .alias("partition"),
+    )
+
+
 class KeyedLogSink(Sink):
     def __init__(self, out_dir: str, *, num_partitions: int = 16):
         self.out_dir = out_dir
@@ -65,17 +80,7 @@ class KeyedLogSink(Sink):
         self.name = f"keyedlog:{out_dir}"
 
     def write(self, prepared: DataFrame, batch_key: str) -> None:
-        payload_cols = [c for c in prepared.columns]
-        out = prepared.select(
-            F.concat_ws("/", *[F.col(k) for k in KEY_COLS if k in prepared.columns]).alias(
-                "key"
-            ),
-            F.to_json(F.struct(*[F.col(c) for c in payload_cols])).alias("value"),
-            F.pmod(
-                F.xxhash64(*[F.col(k) for k in KEY_COLS if k in prepared.columns]),
-                F.lit(self.num_partitions),
-            ).cast("int").alias("partition"),
-        )
+        out = _keyed_kv(prepared, self.num_partitions)
         (
             out.repartition(self.num_partitions, F.col("partition"))
             .write.mode("append")
@@ -118,16 +123,7 @@ class KafkaWireSink(Sink):
 
         from .sources.kafka_wire import KafkaSegmentWriter
 
-        kcols = [k for k in KEY_COLS if k in prepared.columns]
-        out = prepared.select(
-            F.concat_ws("/", *[F.col(k) for k in kcols]).alias("key"),
-            F.to_json(F.struct(*[F.col(c) for c in prepared.columns])).alias(
-                "value"
-            ),
-            F.pmod(F.xxhash64(*[F.col(k) for k in kcols]), F.lit(self.num_partitions))
-            .cast("int")
-            .alias("partition"),
-        )
+        out = _keyed_kv(prepared, self.num_partitions)
 
         def _encode(pdf):
             pdf = pdf.sort_values(["key", "value"], ignore_index=True)
@@ -164,23 +160,45 @@ class KafkaWireSink(Sink):
         os.makedirs(d, exist_ok=True)
         base = self._next_offset(d)
         patched = bytearray(seg)
-        pos = 0
+        pos, n_records = 0, 0
         while pos + 12 <= len(patched):
             (old,) = struct.unpack_from(">q", patched, pos)
             struct.pack_into(">q", patched, pos, old + base)
             (blen,) = struct.unpack_from(">i", patched, pos + 8)
+            (cnt,) = struct.unpack_from(">i", patched, pos + 57)
+            n_records += cnt
             pos += 12 + blen
+        if base + n_records > 1 << 40:
+            # enforce the seq budget at PRODUCE time: writing past it
+            # would poison every subsequent read of the whole directory
+            # (the consumer raises on >= 2^40); failing the batch here
+            # keeps the at-least-once retry contract intact
+            raise ValueError(
+                f"partition {part} would cross the 2^40 offset budget "
+                f"({base} + {n_records}); re-base the recorded log"
+            )
         tmp = os.path.join(d, f".{base:020d}.log.tmp")
         final = os.path.join(d, f"{base:020d}.log")
         with open(tmp, "wb") as f:
             f.write(patched)
-        os.rename(tmp, final)
+        try:
+            # CAS publish (the repo's racing-publisher convention, as in
+            # commitlog): os.link fails on an existing target instead of
+            # silently replacing a concurrent writer's segment
+            os.link(tmp, final)
+        except FileExistsError:
+            raise RuntimeError(
+                f"concurrent producer conflict on {final}; "
+                "KafkaWireSink directories are single-writer"
+            ) from None
+        finally:
+            os.unlink(tmp)
 
     @staticmethod
     def _next_offset(d: str) -> int:
-        """Next base offset for a partition dir: last segment's name
-        (its base) plus its record count — headers only, no record
-        decode."""
+        """Next base offset for a partition dir: last segment's last
+        batch's baseOffset + recordCount — header-to-header seeks only,
+        never a full-segment read."""
         import os
         import struct
 
@@ -188,19 +206,17 @@ class KafkaWireSink(Sink):
         if not segs:
             return 0
         last = os.path.join(d, segs[-1])
-        base = int(segs[-1][: -len(".log")])
-        n = 0
+        nxt = int(segs[-1][: -len(".log")])
         with open(last, "rb") as f:
-            data = f.read()
-        pos = 0
-        while pos + 12 <= len(data):
-            (blen,) = struct.unpack_from(">i", data, pos + 8)
-            # recordCount sits 57 bytes into the batch (8+4+4+1+4+2+4+
-            # 8+8+8+2+4), fixed v2 layout
-            (cnt,) = struct.unpack_from(">i", data, pos + 57)
-            n += cnt
-            pos += 12 + blen
-        return base + n
+            while True:
+                head = f.read(61)
+                if len(head) < 61:
+                    break
+                base_off, blen = struct.unpack_from(">qi", head, 0)
+                (cnt,) = struct.unpack_from(">i", head, 57)
+                nxt = base_off + cnt
+                f.seek(blen - 49, os.SEEK_CUR)  # skip records
+        return nxt
 
 
 class ConsoleSink(Sink):

@@ -214,7 +214,10 @@ def decode_segment(data: bytes) -> list[dict]:
     return out
 
 
-_PARTITION_RE = re.compile(r"partition=(\d+)")
+# the segment's IMMEDIATE parent dir only — an ancestor path that
+# happens to contain partition=N (e.g. a lake bucket layout above the
+# recorded log) must not mis-tag every segment with its id
+_PARTITION_RE = re.compile(r"partition=(\d+)/[^/]+$")
 
 
 def read_kafka_segments(spark, segment_dir: str, *, topic: str):

@@ -110,3 +110,65 @@ def test_kafka_wire_sink_produce_decode_roundtrip(spark, tmp_path):
     for r in feed2:
         k2p2.setdefault(r["key"], set()).add(r["partition"])
     assert all(len(ps) == 1 for ps in k2p2.values())
+
+
+def test_kafka_wire_sink_guards(spark, tmp_path):
+    """Produce-side hardening: CAS segment publish (no silent clobber
+    between racing producers), the 2^40 offset budget enforced at
+    produce time, and header-only next-offset scans."""
+    import os
+
+    import pytest
+
+    from replicator_spark.estuaries import KafkaWireSink
+    from replicator_spark.sources.kafka_wire import KafkaSegmentWriter
+
+    out = str(tmp_path / "wire")
+    sink = KafkaWireSink(out, num_partitions=2)
+    w = KafkaSegmentWriter()
+    w.append_batch([(b"k", b"v"), (b"k2", b"v2")])
+    seg = bytes(w.buf)
+
+    # 1) normal append lands at base 0; next lands at base 2
+    sink._append(0, seg)
+    sink._append(0, seg)
+    names = sorted(os.listdir(os.path.join(out, "partition=0")))
+    assert names == [f"{0:020d}.log", f"{2:020d}.log"]
+
+    # 2) racing producer: same base computed → CAS link fails loudly
+    conflict = os.path.join(out, "partition=0", f"{4:020d}.log")
+    open(conflict, "wb").close()
+    with pytest.raises(RuntimeError, match="concurrent producer"):
+        sink._append(0, seg)
+
+    # 3) crossing the 2^40 seq budget raises at PRODUCE time
+    d1 = os.path.join(out, "partition=1")
+    os.makedirs(d1)
+    big = KafkaSegmentWriter(base_offset=(1 << 40) - 1)
+    big.append_batch([(b"k", b"v")])
+    with open(os.path.join(d1, f"{(1 << 40) - 1:020d}.log"), "wb") as f:
+        f.write(bytes(big.buf))
+    with pytest.raises(ValueError, match="2\\^40 offset budget"):
+        sink._append(1, seg)
+
+
+def test_kafka_partition_from_leaf_dir_only(spark, tmp_path):
+    """An ancestor directory that happens to contain partition=N must
+    not mis-tag segments — only the segment's immediate parent counts."""
+    from replicator_spark.sources.kafka_wire import (
+        KafkaSegmentWriter,
+        read_kafka_segments,
+    )
+
+    w = KafkaSegmentWriter()
+    w.append_batch([(b"k", b"{}")])
+    nested = tmp_path / "partition=3" / "feed" / "partition=1"
+    w.save(str(nested / "00000000000000000000.log"))
+    rows = read_kafka_segments(
+        spark, str(tmp_path / "partition=3" / "feed"), topic="t"
+    ).collect()
+    assert [r["partition"] for r in rows] == [1]
+    # flat file directly under a non-partition dir → partition 0
+    w.save(str(tmp_path / "flat" / "seg.log"))
+    rows = read_kafka_segments(spark, str(tmp_path / "flat"), topic="t").collect()
+    assert [r["partition"] for r in rows] == [0]

@@ -69,7 +69,10 @@ def test_streaming_progress_listener(spark, tmp_path):
         lines = []
         while time.time() < deadline and not lines:
             if os.path.exists(out):
-                lines = [json.loads(l) for l in open(out) if l.strip()]
+                try:
+                    lines = [json.loads(l) for l in open(out) if l.strip()]
+                except json.JSONDecodeError:
+                    lines = []  # torn mid-write line: retry
             if not lines:
                 time.sleep(0.3)
         assert lines and "batchId" in lines[0]
