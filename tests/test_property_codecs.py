@@ -138,3 +138,78 @@ def test_record_batch_detects_any_payload_corruption(records, data):
     except (ValueError, IndexError, UnicodeDecodeError):
         raised = True
     assert raised, f"corruption at byte {pos} went undetected"
+
+
+# -- MySQL binlog v4 ----------------------------------------------------
+
+_i32 = st.integers(min_value=-(2**31), max_value=2**31 - 1)
+_i64 = st.integers(min_value=-(2**63), max_value=2**63 - 1)
+_vchar = st.one_of(st.none(), st.text(max_size=50))
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.tuples(_i32, _i64, _vchar), min_size=1, max_size=12))
+def test_binlog_roundtrip_arbitrary_rows(rows):
+    from replicator_spark.sources.binlog import (
+        BinlogWriter,
+        TableSchema,
+        decode_binlog,
+    )
+
+    schema = TableSchema(
+        db="d", table="t",
+        columns=[("a", "long"), ("b", "longlong"), ("c", "varchar")],
+    )
+    w = BinlogWriter(schema)
+    w.write_rows(rows)
+    if len(rows) >= 2:
+        w.update_rows([(rows[0], rows[1])])
+        w.delete_rows([rows[-1]])
+    w.xid(1)
+    evs = decode_binlog(bytes(w.buf))
+    ins = [e for e in evs if e["op"] == "insert"]
+    assert [tuple(e["after"]) for e in ins] == [tuple(r) for r in rows]
+    if len(rows) >= 2:
+        upd = [e for e in evs if e["op"] == "update"]
+        assert tuple(upd[0]["before"]) == tuple(rows[0])
+        assert tuple(upd[0]["after"]) == tuple(rows[1])
+        dels = [e for e in evs if e["op"] == "delete"]
+        assert tuple(dels[0]["before"]) == tuple(rows[-1])
+    pos = [e["log_pos"] for e in evs]
+    assert pos == sorted(pos)
+
+
+# -- PostgreSQL pgoutput ------------------------------------------------
+
+# pgoutput TupleData carries TEXT-format values: arbitrary text or NULL
+_pgval = st.one_of(st.none(), st.text(max_size=40))
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.tuples(_pgval, _pgval, _pgval), min_size=1, max_size=10))
+def test_pgoutput_roundtrip_arbitrary_tuples(rows):
+    from replicator_spark.sources.pgoutput import PgOutputWriter, decode_pgoutput
+
+    w = PgOutputWriter(columns=["x", "y", "z"])
+    w.begin(xid=1)
+    for r in rows:
+        w.insert(r)
+    if len(rows) >= 2:
+        w.update(rows[1], old=rows[0])
+        w.delete(rows[-1])
+    w.commit()
+    evs = decode_pgoutput(bytes(w.buf))
+
+    def vals(img):
+        return (img["x"], img["y"], img["z"])
+
+    # writer stringifies non-None values (wire format is text)
+    want = [tuple(None if v is None else str(v) for v in r) for r in rows]
+    ins = [e for e in evs if e["op"] == "insert"]
+    assert [vals(e["new"]) for e in ins] == want
+    if len(rows) >= 2:
+        upd = [e for e in evs if e["op"] == "update"][0]
+        assert vals(upd["old"]) == want[0] and vals(upd["new"]) == want[1]
+        assert vals([e for e in evs if e["op"] == "delete"][0]["old"]) == want[-1]
+    lsns = [e["lsn"] for e in evs]
+    assert lsns == sorted(lsns) and len(set(lsns)) == len(lsns)
