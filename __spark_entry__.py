@@ -1904,6 +1904,61 @@ GROUP BY 1
 """
 
 
+def q_substring_dedup(spark, sf_dir):
+    """Exact duplicated-substring stripping at 15-token-window
+    granularity (Lee et al. 2022 suffix-array dedup, approximated with
+    k-gram windows): any 15-token run occurring more than once in the
+    corpus is removed from every occurrence, overlapping windows
+    merging through the covered-position union.  All linear gram-keyed
+    shuffles — no pairs, no global sort, no Python."""
+    from replicator_spark.ops.dedup_text import strip_duplicated_substrings
+
+    return strip_duplicated_substrings(
+        _load(spark, sf_dir, "documents"), k=15
+    )
+
+
+SQL_substring_dedup = r"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+  FROM documents
+),
+starts AS (
+  SELECT doc_id, ws,
+         unnest(range(1, GREATEST(len(ws) - 14, 0) + 1)) AS i
+  FROM w
+),
+grams AS (
+  SELECT doc_id, i - 1 AS p,
+         array_to_string(list_slice(ws, i, i + 14), ' ') AS gram
+  FROM starts
+),
+dup AS (SELECT gram FROM grams GROUP BY 1 HAVING COUNT(*) > 1),
+cov AS (
+  SELECT DISTINCT g.doc_id, g.p + t.u AS pos
+  FROM grams g JOIN dup USING (gram)
+  CROSS JOIN unnest(range(0, 15)) AS t(u)
+),
+toks AS (
+  SELECT doc_id, ws, unnest(range(0, len(ws))) AS pos FROM w
+),
+kept AS (
+  SELECT t.doc_id, t.pos, t.ws[t.pos + 1] AS tok
+  FROM toks t ANTI JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos
+),
+asm AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         string_agg(tok, ' ' ORDER BY pos) AS cleaned
+  FROM kept GROUP BY 1
+)
+SELECT w.doc_id,
+       CAST(len(w.ws) AS BIGINT) AS n_tokens,
+       CAST(len(w.ws) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed,
+       COALESCE(a.cleaned, '') AS cleaned
+FROM w LEFT JOIN asm a USING (doc_id)
+"""
+
+
 def q_doc_chunking(spark, sf_dir):
     """Fixed-size token-window chunking with overlap (context-window
     preparation / long-doc RAG indexing) — pure JVM sequence→transform→
@@ -2852,6 +2907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_mixture": q_sample_mixture,
         "tfidf_keywords": q_tfidf_keywords,
         "ngram_novelty": q_ngram_novelty,
+        "substring_dedup": q_substring_dedup,
         "source_mysql_binlog_decode": q_source_mysql_binlog_decode,
         "source_pg_wal_decode": q_source_pg_wal_decode,
         "source_mongo_changestream_decode": q_source_mongo_changestream_decode,
@@ -2926,6 +2982,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_mixture": SQL_sample_mixture,
         "tfidf_keywords": SQL_tfidf_keywords,
         "ngram_novelty": SQL_ngram_novelty,
+        "substring_dedup": SQL_substring_dedup,
         "source_mysql_binlog_decode": SQL_source_mysql_binlog_decode,
         "source_pg_wal_decode": SQL_source_pg_wal_decode,
         "source_mongo_changestream_decode": SQL_source_mongo_changestream_decode,

@@ -541,3 +541,93 @@ def simhash_near_dups(
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def strip_duplicated_substrings(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    k: int = 15,
+) -> DataFrame:
+    """Exact duplicated-substring removal at k-token-window granularity
+    — the distributed approximation of suffix-array substring dedup
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better"): any ≥k-token run that appears more than once in
+    the corpus (across documents OR repeated within one) is stripped
+    from every occurrence.
+
+    Method: every k-token window is a gram; a gram whose total start
+    count exceeds 1 is duplicated; the union of its windows' positions
+    is the covered set; covered tokens are dropped and the survivors
+    re-joined in order.  Overlapping duplicated windows merge naturally
+    through the position-set union — exactly the span-merge the suffix
+    array gives, at window resolution.
+
+    Scale shape: one gram-keyed count agg, one join back, one explode
+    of covered positions, one anti-join, one per-doc re-assembly agg —
+    all linear in token count, no pairs, no global sort; the per-doc
+    window in the final agg is a groupBy, not a Window.
+
+    Returns (id, n_tokens, n_removed, cleaned) — cleaned is the
+    stripped text (empty string when everything was duplicated).
+    """
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(words).alias("pos", "tok"),
+    )
+    n_starts = F.greatest(F.size(words) - (k - 1), F.lit(0))
+    # docs shorter than k have NO grams (a duplicated run below the k
+    # threshold must not be stripped) — sequence(1, 0) would DESCEND,
+    # so build [1..max(n,1)] and slice to length n (length 0 = empty)
+    starts_seq = F.slice(
+        F.sequence(F.lit(1), F.greatest(n_starts, F.lit(1))), 1, n_starts
+    )
+    grams = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.transform(
+                starts_seq,
+                lambda i: F.struct(
+                    (i - 1).alias("p"),  # 0-based start, aligns with posexplode
+                    F.concat_ws(" ", F.slice(words, i, k)).alias("gram"),
+                ),
+            )
+        ).alias("g"),
+    ).select("_id", F.col("g.p").alias("p"), F.col("g.gram").alias("gram"))
+    dup = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("cnt")).where(
+        F.col("cnt") > 1
+    )
+    covered = (
+        grams.join(dup, "gram")
+        .select("_id", F.explode(F.sequence(F.col("p"), F.col("p") + (k - 1))).alias("pos"))
+        .distinct()
+    )
+    kept = toks.join(covered, ["_id", "pos"], "left_anti")
+    assembled = kept.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("tok")))
+                ),
+                lambda s: s["tok"],
+            ),
+        ).alias("cleaned"),
+    )
+    totals = df.select(
+        F.col(id_col).alias("_id"), F.size(words).alias("n_tokens")
+    )
+    return (
+        totals.join(assembled, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0))).alias(
+                "n_removed"
+            ),
+            F.coalesce(F.col("cleaned"), F.lit("")).alias("cleaned"),
+        )
+    )

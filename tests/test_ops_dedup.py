@@ -260,3 +260,51 @@ def test_minhash_base_hash_variants(spark):
         minhash_signatures(docs, impl="jvm", base_hash="sha2_60")
     with _pytest.raises(ValueError, match="unknown base_hash"):
         minhash_signatures(docs, base_hash="md5").count()
+
+
+def test_strip_duplicated_substrings_semantics(spark):
+    """k-token-window substring dedup: duplicated runs stripped from
+    EVERY occurrence (incl. within one doc), overlapping windows merge,
+    sub-threshold duplicates and short docs untouched."""
+    from replicator_spark.ops.dedup_text import strip_duplicated_substrings
+
+    shared = "one two three four five"
+    df = spark.createDataFrame(
+        [
+            (1, f"{shared} alpha beta"),
+            (2, f"{shared} gamma delta"),
+            (3, "totally different words here entirely"),
+            (4, "short doc"),                      # < k: no grams, kept
+            (5, f"intro {shared} middle {shared}"),  # intra-doc repeat
+            (6, "dup pair dup pair tail"),          # 2-token repeat < k
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           strip_duplicated_substrings(df, k=5).collect()}
+    assert out[1]["n_removed"] == 5 and out[1]["cleaned"] == "alpha beta"
+    assert out[2]["cleaned"] == "gamma delta"
+    assert out[3]["n_removed"] == 0
+    assert out[4]["n_removed"] == 0 and out[4]["cleaned"] == "short doc"
+    # intra-doc repeat: both occurrences stripped, connectors survive
+    assert out[5]["cleaned"] == "intro middle"
+    assert out[5]["n_removed"] == 10
+    # a duplicated 2-token run is below the k=5 threshold: untouched
+    assert out[6]["n_removed"] == 0
+
+
+def test_strip_duplicated_substrings_overlap_merges(spark):
+    """Overlapping duplicated windows union into one span (the
+    suffix-array span-merge at window resolution): a shared 6-token run
+    with k=5 covers positions 0..5 via two overlapping windows."""
+    from replicator_spark.ops.dedup_text import strip_duplicated_substrings
+
+    run = "a b c d e f"
+    df = spark.createDataFrame(
+        [(1, f"{run} x"), (2, f"{run} y")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           strip_duplicated_substrings(df, k=5).collect()}
+    assert out[1]["n_removed"] == 6 and out[1]["cleaned"] == "x"
+    assert out[2]["cleaned"] == "y"
