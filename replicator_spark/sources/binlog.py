@@ -289,7 +289,7 @@ def decode_binlog(data: bytes) -> list[dict]:
 # -- Spark integration ---------------------------------------------------------
 
 
-def read_binlog_feed(spark, binlog_dir: str):
+def read_binlog_feed(spark, binlog_dir: str, *, streaming: bool = False):
     """Decode a directory of binlog segment files into the positional
     row-event frame ``from_mysql_rows`` consumes:
     (seq, op, db, tbl, row_json).
@@ -299,10 +299,18 @@ def read_binlog_feed(spark, binlog_dir: str):
     ``seq`` is (segment_number << 32) | log_pos — strictly increasing
     in true binlog order across rotations, exactly the LSN contract the
     LWW merge expects. Updates/deletes serialize their AFTER/BEFORE
-    image respectively (what the reference applies too)."""
+    image respectively (what the reference applies too).
+
+    ``streaming=True`` returns the same frame as a Structured
+    Streaming source over the directory (new segments = new files —
+    how a live replica tail accumulates); the checkpoint's file-source
+    log is the resume position, standing in for the reference's
+    binlog (file, offset) checkpoint."""
     import pandas as pd
 
-    files = spark.read.format("binaryFile").load(binlog_dir)
+    from ._binfiles import load_binary_files
+
+    files = load_binary_files(spark, binlog_dir, streaming=streaming)
 
     schema = "seq long, op string, db string, tbl string, row_json string"
 

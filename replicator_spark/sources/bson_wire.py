@@ -264,7 +264,7 @@ def decode_changestream(data: bytes) -> list[dict]:
     return out
 
 
-def read_changestream_feed(spark, stream_dir: str):
+def read_changestream_feed(spark, stream_dir: str, *, streaming: bool = False):
     """Decode a directory of recorded change-stream segments into the
     frame ``from_mongo_events`` consumes: (seq, operationType, ns_coll,
     documentKey, fullDocument) with documents rendered as canonical
@@ -273,10 +273,14 @@ def read_changestream_feed(spark, stream_dir: str):
     clusterTime ``(t<<32)|i`` — the oplog's native total order, the
     same contract the resume token encodes.  Updates whose
     ``fullDocument`` is absent surface NULL and flow into the 3-tier
-    recovery join."""
+    recovery join.  ``streaming=True``: same frame as a Structured
+    Streaming source (checkpoint file-source log ≙ the resume
+    token)."""
     import pandas as pd
 
-    files = spark.read.format("binaryFile").load(stream_dir)
+    from ._binfiles import load_binary_files
+
+    files = load_binary_files(spark, stream_dir, streaming=streaming)
     schema = (
         "seq long, operationType string, ns_db string, ns_coll string, "
         "documentKey string, fullDocument string"

@@ -220,7 +220,9 @@ def decode_segment(data: bytes) -> list[dict]:
 _PARTITION_RE = re.compile(r"partition=(\d+)/[^/]+$")
 
 
-def read_kafka_segments(spark, segment_dir: str, *, topic: str):
+def read_kafka_segments(
+    spark, segment_dir: str, *, topic: str, streaming: bool = False
+):
     """Decode a directory of recorded log segments into the frame
     ``from_kafka_messages`` consumes: (seq, topic, partition, offset,
     key, value).  Multi-partition topics use the broker's own on-disk
@@ -240,10 +242,10 @@ def read_kafka_segments(spark, segment_dir: str, *, topic: str):
     """
     import pandas as pd
 
-    files = (
-        spark.read.format("binaryFile")
-        .option("recursiveFileLookup", "true")
-        .load(segment_dir)
+    from ._binfiles import load_binary_files
+
+    files = load_binary_files(
+        spark, segment_dir, streaming=streaming, recursive=True
     )
     schema = (
         "seq long, topic string, partition int, offset long, "

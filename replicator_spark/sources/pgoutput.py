@@ -187,16 +187,20 @@ def decode_pgoutput(data: bytes) -> list[dict]:
     return out
 
 
-def read_pgoutput_feed(spark, stream_dir: str):
+def read_pgoutput_feed(spark, stream_dir: str, *, streaming: bool = False):
     """Decode a directory of recorded pgoutput segments into the tuple
     frame ``from_pg_tuples`` consumes: (seq, op, db, tbl, tuple) with
     the REAL column names recovered from Relation messages (the
     reference's pglogrepl path loses them — sanctioned improvement).
     ``seq`` is the frame LSN — already globally ordered by WAL
-    position, the native LSN contract of the LWW merge."""
+    position, the native LSN contract of the LWW merge.
+    ``streaming=True``: same frame as a Structured Streaming source
+    (checkpoint file-source log ≙ the confirmed-flush LSN)."""
     import pandas as pd
 
-    files = spark.read.format("binaryFile").load(stream_dir)
+    from ._binfiles import load_binary_files
+
+    files = load_binary_files(spark, stream_dir, streaming=streaming)
     schema = "seq long, op string, db string, tbl string, tuple map<string,string>"
 
     def _decode(it):
