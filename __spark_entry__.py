@@ -1467,18 +1467,22 @@ def _pgoutput_fixture():
     machinery; the decoder is what the oracle verifies)."""
     import json as _json
 
-    from replicator_spark.sources.pgoutput import PgOutputWriter
+    from replicator_spark.sources.pgoutput import UNCHANGED, PgOutputWriter
 
     cols = ["id", "rev", "name"]
     w = PgOutputWriter(columns=cols)
     expected = []
 
-    def emit(op, img):
+    def emit(op, img, partial=False):
         doc = _json.dumps(
-            {k: v for k, v in zip(cols, img) if v is not None},
+            {
+                k: v
+                for k, v in zip(cols, img)
+                if v is not None and v is not UNCHANGED
+            },
             separators=(",", ":"),
         )
-        expected.append((w.lsn, op, "public", "files", doc))
+        expected.append((w.lsn, op, "public", "files", doc, partial))
 
     w.begin(xid=1)
     for i in range(1, 31):
@@ -1492,6 +1496,12 @@ def _pgoutput_fixture():
         if i % 3 == 0:
             w.delete(old)
             emit("delete", old)
+        elif i % 4 == 1:
+            # update not touching the (TOASTed) name column: the
+            # walsender sends 'u' → column absent + partial=True
+            new = (str(i), str(i * 10 + 1), UNCHANGED)
+            w.update(new, old=old)
+            emit("update", new, partial=True)
         else:
             new = (str(i), str(i * 10 + 1), f"g{i}.txt")
             w.update(new, old=old)
@@ -1506,8 +1516,10 @@ def q_source_pg_wal_decode(spark, sf_dir):
     messages inside XLogData frames) and normalize via from_pg_tuples —
     with the REAL column names recovered from the Relation message
     (the reference's pglogrepl path loses them to col_N synthetics).
-    Oracle = the literal event list the fixture wrote; seq is the
-    frame LSN. Only the walsender transport remains a stand-in."""
+    Unchanged-TOAST ('u') columns decode as ABSENT with partial=True
+    (ADVICE r04) — the flag that routes them to the partial-update
+    merge. Oracle = the literal event list the fixture wrote; seq is
+    the frame LSN. Only the walsender transport remains a stand-in."""
     from replicator_spark.sources.normalize import from_pg_tuples
     from replicator_spark.sources.pgoutput import read_pgoutput_feed
 
@@ -1518,20 +1530,21 @@ def q_source_pg_wal_decode(spark, sf_dir):
     # identity rename → struct-shaped doc (deterministic key order,
     # null columns omitted like the canonical convention)
     return from_pg_tuples(feed, rename={c: c for c in cols}).select(
-        "seq", "op", "db", "tbl", "doc"
+        "seq", "op", "db", "tbl", "doc", "partial"
     )
 
 
 def _sql_source_pg_wal_decode() -> str:
     _cols, _w, expected = _pgoutput_fixture()
     values = ",\n  ".join(
-        f"({seq}, '{op}', '{db}', '{tbl}', '{doc}')"
-        for seq, op, db, tbl, doc in expected
+        f"({seq}, '{op}', '{db}', '{tbl}', '{doc}', {str(partial).upper()})"
+        for seq, op, db, tbl, doc, partial in expected
     )
     return (
-        "SELECT CAST(seq AS BIGINT) AS seq, op, db, tbl, doc FROM (VALUES\n  "
+        "SELECT CAST(seq AS BIGINT) AS seq, op, db, tbl, doc,"
+        " partial FROM (VALUES\n  "
         + values
-        + "\n) AS t(seq, op, db, tbl, doc)"
+        + "\n) AS t(seq, op, db, tbl, doc, partial)"
     )
 
 

@@ -147,12 +147,18 @@ class CommitConflictError(RuntimeError):
     snapshot or enforce single-writer-per-table."""
 
 
-def _atomic_write(path: str, data: str, *, exclusive: bool = False) -> None:
+def _atomic_write(
+    path: str, data: str, *, exclusive: bool = False, same=None
+) -> None:
     """Write-temp-then-publish. ``exclusive=True`` publishes with
     ``os.link`` (fails on an existing target) instead of ``os.rename``
     (which silently overwrites) — the local-FS equivalent of a catalog
-    compare-and-swap. An existing target with byte-identical content is
-    treated as success (crash-between-steps retry idempotence)."""
+    compare-and-swap. An existing target with equivalent content is
+    treated as success (crash-between-steps retry idempotence);
+    equivalence is byte identity unless ``same(existing, new)`` is
+    given (commit_snapshot passes one that ignores the commit
+    timestamp, so a crash-retry that rebuilds the same snapshot a
+    second later still lands as success rather than a conflict)."""
     d = os.path.dirname(path)
     os.makedirs(d, exist_ok=True)
     fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
@@ -166,10 +172,12 @@ def _atomic_write(path: str, data: str, *, exclusive: bool = False) -> None:
                 os.link(tmp, path)  # EEXIST if someone committed first
             except FileExistsError:
                 with open(path) as f:
-                    if f.read() != data:
-                        raise CommitConflictError(
-                            f"{path} already committed by another writer"
-                        ) from None
+                    existing = f.read()
+                equal = same(existing, data) if same else existing == data
+                if not equal:
+                    raise CommitConflictError(
+                        f"{path} already committed by another writer"
+                    ) from None
         else:
             os.rename(tmp, path)  # atomic on POSIX
     finally:
@@ -311,6 +319,22 @@ def load_snapshot(root: str, version: int | None = None) -> Snapshot | None:
     return snap
 
 
+def _snap_equivalent(existing: str, new: str) -> bool:
+    """Snapshot-JSON equality ignoring the volatile commit timestamp:
+    a crash-retry rebuilds the same snapshot content but stamps a new
+    ``committed_at_ms``, and must still count as the same commit."""
+    try:
+        a, b = json.loads(existing), json.loads(new)
+    except ValueError:
+        return False
+    if not (isinstance(a, dict) and isinstance(b, dict)):
+        return a == b
+    a, b = dict(a), dict(b)
+    a.pop("committed_at_ms", None)
+    b.pop("committed_at_ms", None)
+    return a == b
+
+
 def commit_snapshot(root: str, snap: Snapshot) -> None:
     """Two-step atomic commit: snapshot file (compare-and-swap), then
     pointer swap.
@@ -332,11 +356,15 @@ def commit_snapshot(root: str, snap: Snapshot) -> None:
 
     A crash between the two steps leaves a dangling v{N}.json (and
     possibly manifests) that the hint never references — harmless; a
-    crash-retry that rebuilds byte-identical snapshot JSON is accepted
-    as success. The hint swap stays last-writer-wins but never moves
-    backwards. Readers only follow the hint.
+    crash-retry that rebuilds the same snapshot is accepted as success
+    (``committed_at_ms`` is stamped only when unset and excluded from
+    the conflict comparison, so the volatile timestamp cannot turn an
+    idempotent retry into a spurious conflict). The hint swap stays
+    last-writer-wins but never moves backwards. Readers only follow
+    the hint.
     """
-    snap.committed_at_ms = int(time.time() * 1000)
+    if not snap.committed_at_ms:
+        snap.committed_at_ms = int(time.time() * 1000)
     d = dict(snap.__dict__)
     # file_stats/file_schema_ids travel inside the manifests, never
     # inline (inline would be O(total files) snapshot JSON — the exact
@@ -350,7 +378,7 @@ def commit_snapshot(root: str, snap: Snapshot) -> None:
     payload = json.dumps(d, sort_keys=True)
     path = _snap_path(root, snap.version)
     try:
-        _atomic_write(path, payload, exclusive=True)
+        _atomic_write(path, payload, exclusive=True, same=_snap_equivalent)
     except CommitConflictError:
         cur = current_version(root)
         if cur is not None and cur >= snap.version:

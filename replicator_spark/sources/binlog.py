@@ -16,14 +16,18 @@ Subset implemented (the row-replication core):
 * FORMAT_DESCRIPTION_EVENT (15) — header length + checksum algorithm
 * TABLE_MAP_EVENT (19) — db/table names, column types + metadata
 * WRITE/UPDATE/DELETE_ROWS_EVENT v2 (30/31/32) — present-column
-  bitmaps, per-image null bitmaps, values
+  bitmaps (validated: a partial row image, binlog_row_image=MINIMAL/
+  NOBLOB, raises loudly rather than mis-binding values positionally),
+  per-image null bitmaps, values
 * column types LONG (4-byte int), LONGLONG (8-byte int), VARCHAR
   (1/2-byte length prefix by declared max length)
 * other event types (QUERY, XID, ROTATE, ...) are skipped by size —
   exactly what a row-based consumer does
 
-Checksum algorithm 0 (NONE) and 1 (CRC32, trimmed per event) are both
-accepted. Scale shape: one binlog segment file = one decode task
+Checksum algorithm 0 (NONE) and 1 (CRC32) are both accepted; the alg
+byte is located structurally from the FDE's declared post-header
+array length (tail-sniffing misdetects ~1/256 of CRC32 files), and
+CRC32 footers are verified on every event. Scale shape: one binlog segment file = one decode task
 (``binaryFile`` source → ``mapInPandas``), matching how real binlogs
 rotate; the per-event work is pure ``struct`` unpacking inside the
 Arrow batch.
@@ -61,23 +65,45 @@ class TableSchema:
 
 
 class BinlogWriter:
-    """Compose a syntactically real binlog v4 file (no checksums —
-    server 5.6 vocabulary with checksum_alg=NONE)."""
+    """Compose a syntactically real binlog v4 file (server 5.6
+    vocabulary). ``checksum="crc32"`` appends a CRC32 footer to every
+    event (incl. the FDE) and declares alg 1 in the FDE, exactly the
+    binlog_checksum=CRC32 layout; default is NONE."""
 
-    def __init__(self, schema: TableSchema, *, table_id: int = 7, ts: int = 1700000000):
+    def __init__(
+        self,
+        schema: TableSchema,
+        *,
+        table_id: int = 7,
+        ts: int = 1700000000,
+        checksum: str = "none",
+    ):
+        if checksum not in ("none", "crc32"):
+            raise ValueError(f"unsupported checksum {checksum!r}")
         self.schema = schema
         self.table_id = table_id
         self.ts = ts
+        self._crc = checksum == "crc32"
         self.buf = bytearray(MAGIC)
         self._fde()
 
     def _event(self, etype: int, body: bytes) -> None:
-        size = 19 + len(body)
+        import zlib
+
+        size = 19 + len(body) + (4 if self._crc else 0)
         log_pos = len(self.buf) + size
-        self.buf += _HDR.pack(self.ts, etype, 1, size, log_pos, 0) + body
+        ev = _HDR.pack(self.ts, etype, 1, size, log_pos, 0) + body
+        if self._crc:
+            ev += struct.pack("<I", zlib.crc32(ev))
+        self.buf += ev
 
     def _fde(self) -> None:
         post = bytearray(40)  # post-header lengths for event types 1..40
+        # the FDE declares its OWN post-header length too: 2 (binlog
+        # ver) + 50 (server ver) + 4 (ts) + 1 (header len) + n array
+        # entries — what lets a reader locate the checksum-alg byte
+        # structurally instead of guessing from the tail (ADVICE r04)
+        post[FDE - 1] = 57 + len(post)
         post[TABLE_MAP - 1] = 8
         for t in (WRITE_V2, UPDATE_V2, DELETE_V2):
             post[t - 1] = 10
@@ -87,7 +113,7 @@ class BinlogWriter:
             + struct.pack("<I", self.ts)
             + bytes([19])
             + bytes(post)
-            + bytes([0])  # checksum_alg = NONE
+            + bytes([1 if self._crc else 0])  # checksum_alg
         )
         self._event(FDE, bytes(body))
 
@@ -220,6 +246,8 @@ def decode_binlog(data: bytes) -> list[dict]:
     ``{"log_pos", "ts", "op", "db", "tbl", "before", "after"}``
     (one dict per ROW; update rows carry both images). Raises on a bad
     magic; skips non-row events by their declared size."""
+    import zlib
+
     if data[:4] != MAGIC:
         raise ValueError("not a binlog file (bad magic)")
     off = 4
@@ -229,17 +257,51 @@ def decode_binlog(data: bytes) -> list[dict]:
     while off + 19 <= len(data):
         ts, etype, _srv, size, _log_pos, _flags = _HDR.unpack_from(data, off)
         end_pos = off + size
+        if checksum_trim and etype != FDE:
+            (want,) = struct.unpack_from("<I", data, end_pos - 4)
+            got = zlib.crc32(data[off : end_pos - 4])
+            if got != want:
+                raise ValueError(
+                    f"binlog CRC32 mismatch at pos {off}: "
+                    f"expected {want:#010x}, computed {got:#010x}"
+                )
         body = data[off + 19 : end_pos - (checksum_trim if etype != FDE else 0)]
         if etype == FDE:
-            # 5.6.1+: the byte after the post-header-length array is the
-            # checksum algorithm; with CRC32 the FDE itself also carries
-            # a trailing CRC, so the alg byte sits 5 from the end
-            if body[-1] == 0:
+            # The checksum-alg byte sits STRUCTURALLY at 2 (binlog ver)
+            # + 50 (server ver) + 4 (create ts) + 1 (header len) + n
+            # post-header entries, where n comes from the FDE's own
+            # declared post-header length (array entry for type 15 =
+            # 57 + n). Tail-sniffing (body[-1]==0 vs body[-5]==1) is
+            # ambiguous ~1/256 of the time — a CRC32 file whose FDE
+            # checksum ends in 0x00 would silently misdetect as
+            # checksum-free and corrupt every later parse (ADVICE r04).
+            if len(body) < 57 + FDE:
+                raise ValueError("malformed FDE: truncated post-header array")
+            n_types = body[57 + FDE - 1] - 57
+            if n_types < FDE or 57 + n_types > len(body):
+                raise ValueError(
+                    "malformed FDE: undeclared or inconsistent "
+                    "post-header array length"
+                )
+            alg_off = 57 + n_types
+            # pre-5.6.1 servers end the FDE at the array: no alg byte
+            alg = body[alg_off] if alg_off < len(body) else 0
+            if alg == 0:
                 checksum_trim = 0
-            elif body[-5] == 1:
+            elif alg == 1:
                 checksum_trim = 4
+                # the FDE checksums itself under the alg it declares
+                (want,) = struct.unpack_from("<I", data, end_pos - 4)
+                got = zlib.crc32(data[off : end_pos - 4])
+                if got != want:
+                    raise ValueError(
+                        f"binlog FDE CRC32 mismatch: expected "
+                        f"{want:#010x}, computed {got:#010x}"
+                    )
             else:
-                raise ValueError("unsupported binlog checksum algorithm")
+                raise ValueError(
+                    f"unsupported binlog checksum algorithm {alg}"
+                )
         elif etype == TABLE_MAP:
             tid = int.from_bytes(body[0:6], "little")
             p = 8
@@ -268,7 +330,21 @@ def decode_binlog(data: bytes) -> list[dict]:
             p += extra  # extra_data_len includes its own 2 bytes
             ncols, p = _read_lenenc(body, p)
             bm = (ncols + 7) // 8
-            p += bm * (2 if etype == UPDATE_V2 else 1)  # present bitmaps (all set)
+            # present-column bitmaps: the positional image parse below
+            # is only valid when every column is present. A binlog
+            # written with binlog_row_image=MINIMAL/NOBLOB has partial
+            # images — silently binding values to the wrong columns is
+            # the worst failure mode, so fail loudly (ADVICE r04).
+            for _img in range(2 if etype == UPDATE_V2 else 1):
+                bmp = body[p : p + bm]
+                for i in range(ncols):
+                    if not (bmp[i // 8] >> (i % 8)) & 1:
+                        raise ValueError(
+                            "partial row image (binlog_row_image != "
+                            "FULL) unsupported: column "
+                            f"{i} absent from present-column bitmap"
+                        )
+                p += bm
             while p < len(body):
                 img1, p = _parse_image(body, p, t["types"], t["metas"])
                 rec = {

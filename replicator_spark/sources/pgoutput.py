@@ -17,7 +17,14 @@ clock u64 | pgoutput message`` — i.e. the COPY-subprotocol payloads a
 walsender emits, framed for file storage. Messages implemented:
 Begin ('B'), Commit ('C'), Relation ('R'), Insert ('I'), Update ('U',
 with optional 'K'/'O' old image), Delete ('D'); TupleData columns
-``'n'`` (null), ``'u'`` (unchanged TOAST → None), ``'t'`` (text).
+``'n'`` (SQL NULL → None), ``'u'`` (unchanged TOAST → column ABSENT
+from the decoded image, never None — a 'u' column was not sent, not
+set to null; conflating the two would make the downstream LWW merge
+null out a stored TOAST value, ADVICE r04), ``'t'`` (text).
+Events whose new image omitted any unchanged-TOAST column carry
+``partial=True`` so the apply path can route them through the
+partial-update merge (``meta['partial']='true'`` — absent ≡
+don't-touch, exactly the engine's partial contract).
 Scale shape mirrors binlog.py: one recorded segment = one decode task
 (binaryFile → Arrow mapInPandas)."""
 
@@ -25,6 +32,20 @@ from __future__ import annotations
 
 import os
 import struct
+
+
+class _Unchanged:
+    """Sentinel for an unchanged-TOAST column ('u' TupleData): the
+    value was NOT sent — distinct from SQL NULL. Usable in writer
+    tuples to synthesize partial images."""
+
+    __slots__ = ()
+
+    def __repr__(self) -> str:  # pragma: no cover — debug aid
+        return "UNCHANGED"
+
+
+UNCHANGED = _Unchanged()
 
 
 def _cstr(b: bytes, off: int) -> tuple[str, int]:
@@ -68,6 +89,8 @@ class PgOutputWriter:
         for v in row:
             if v is None:
                 out += b"n"
+            elif v is UNCHANGED:
+                out += b"u"
             else:
                 b = str(v).encode()
                 out += b"t" + struct.pack(">I", len(b)) + b
@@ -111,8 +134,10 @@ def _parse_tuple(b: bytes, off: int) -> tuple[list, int]:
     for _ in range(n):
         kind = b[off : off + 1]
         off += 1
-        if kind in (b"n", b"u"):  # null / unchanged TOAST
+        if kind == b"n":  # SQL NULL
             row.append(None)
+        elif kind == b"u":  # unchanged TOAST: not sent ≠ null
+            row.append(UNCHANGED)
         elif kind == b"t":
             (ln,) = struct.unpack_from(">I", b, off)
             off += 4
@@ -125,9 +150,12 @@ def _parse_tuple(b: bytes, off: int) -> tuple[list, int]:
 
 def decode_pgoutput(data: bytes) -> list[dict]:
     """Recorded pgoutput stream → row-event dicts ``{"lsn", "op",
-    "namespace", "relname", "old", "new"}`` with old/new as
-    column-name→text dicts (None for SQL NULL). Begin/Commit frames
-    are consumed for ordering only; unknown message types raise."""
+    "namespace", "relname", "old", "new", "partial"}`` with old/new as
+    column-name→text dicts (None for SQL NULL; unchanged-TOAST columns
+    are OMITTED from the dict — absent means not-sent, and
+    ``partial=True`` marks events whose new image omitted any column).
+    Begin/Commit frames are consumed for ordering only; unknown
+    message types raise."""
     off = 0
     rels: dict[int, dict] = {}
     out: list[dict] = []
@@ -161,15 +189,21 @@ def decode_pgoutput(data: bytes) -> list[dict]:
             r = rels[relid]
             p = 5
             old = new = None
+            partial = False
             while p < len(msg):
                 kind = msg[p : p + 1]
                 p += 1
                 vals, p = _parse_tuple(msg, p)
-                named = dict(zip(r["columns"], vals))
+                named = {
+                    c: v
+                    for c, v in zip(r["columns"], vals)
+                    if v is not UNCHANGED
+                }
                 if kind in (b"K", b"O"):
                     old = named
                 elif kind == b"N":
                     new = named
+                    partial = len(named) < len(vals)
                 else:
                     raise ValueError(f"unsupported image kind {kind!r}")
             op = {b"I": "insert", b"U": "update", b"D": "delete"}[tag]
@@ -177,7 +211,7 @@ def decode_pgoutput(data: bytes) -> list[dict]:
                 {
                     "lsn": lsn, "op": op,
                     "namespace": r["namespace"], "relname": r["relname"],
-                    "old": old, "new": new,
+                    "old": old, "new": new, "partial": partial,
                 }
             )
         elif tag in (b"B", b"C"):
@@ -194,6 +228,11 @@ def read_pgoutput_feed(spark, stream_dir: str, *, streaming: bool = False):
     reference's pglogrepl path loses them — sanctioned improvement).
     ``seq`` is the frame LSN — already globally ordered by WAL
     position, the native LSN contract of the LWW merge.
+    ``partial`` is True for updates whose new image omitted
+    unchanged-TOAST columns ('u' TupleData): those tuples carry only
+    the sent columns — route them through the partial-update merge
+    (``meta['partial']='true'``; absent key ≡ don't-touch) so a big
+    TOASTed value is never overwritten with null (ADVICE r04).
     ``streaming=True``: same frame as a Structured Streaming source
     (checkpoint file-source log ≙ the confirmed-flush LSN)."""
     import pandas as pd
@@ -201,7 +240,10 @@ def read_pgoutput_feed(spark, stream_dir: str, *, streaming: bool = False):
     from ._binfiles import load_binary_files
 
     files = load_binary_files(spark, stream_dir, streaming=streaming)
-    schema = "seq long, op string, db string, tbl string, tuple map<string,string>"
+    schema = (
+        "seq long, op string, db string, tbl string,"
+        " tuple map<string,string>, partial boolean"
+    )
 
     def _decode(it):
         for pdf in it:
@@ -210,16 +252,20 @@ def read_pgoutput_feed(spark, stream_dir: str, *, streaming: bool = False):
                 for ev in decode_pgoutput(bytes(content)):
                     img = ev["new"] if ev["op"] != "delete" else ev["old"]
                     rows.append(
-                        (ev["lsn"], ev["op"], ev["namespace"], ev["relname"], img)
+                        (
+                            ev["lsn"], ev["op"], ev["namespace"],
+                            ev["relname"], img, ev["partial"],
+                        )
                     )
             yield pd.DataFrame(
-                rows, columns=["seq", "op", "db", "tbl", "tuple"]
+                rows, columns=["seq", "op", "db", "tbl", "tuple", "partial"]
             )
 
     return files.select("content").mapInPandas(_decode, schema=schema)
 
 
 __all__ = [
+    "UNCHANGED",
     "PgOutputWriter",
     "decode_pgoutput",
     "read_pgoutput_feed",

@@ -87,6 +87,69 @@ def test_decode_crc32_checksummed_stream():
     assert evs[3]["after"] == (2, 21, "b2.txt")
 
 
+def test_writer_native_crc32_roundtrip():
+    """checksum='crc32' writer layout decodes identically; CRCs are
+    verified per event."""
+    w = BinlogWriter(SCHEMA, checksum="crc32")
+    w.write_rows([(1, 10, "a.txt"), (2, 20, None)])
+    w.xid(1)
+    w.update_rows([((2, 20, None), (2, 21, "b.txt"))])
+    evs = decode_binlog(bytes(w.buf))
+    assert [e["op"] for e in evs] == ["insert", "insert", "update"]
+    assert evs[2]["after"] == (2, 21, "b.txt")
+
+
+def test_crc32_corruption_raises():
+    w = BinlogWriter(SCHEMA, checksum="crc32")
+    w.write_rows([(1, 10, "a.txt")])
+    buf = bytearray(w.buf)
+    buf[-10] ^= 0x40  # flip a bit inside the last event's body
+    with pytest.raises(ValueError, match="CRC32 mismatch"):
+        decode_binlog(bytes(buf))
+
+
+def test_fde_alg_detection_is_structural_not_tail_sniffed():
+    """ADVICE r04: ~1/256 CRC32 files have an FDE checksum ending in
+    0x00; tail-sniffing (body[-1]==0 → NONE) misdetected those and
+    corrupted every later parse. Construct exactly that file (scan ts
+    until the FDE CRC's low byte is 0x00) and require a clean decode."""
+    ts = 1700000000
+    while True:
+        w = BinlogWriter(SCHEMA, ts=ts, checksum="crc32")
+        fde_end = 4 + 19 + 57 + 40 + 1 + 4  # magic+hdr+fixed+array+alg+crc
+        if w.buf[fde_end - 4] == 0:  # CRC little-endian: last body byte
+            break
+        ts += 1
+    w.write_rows([(1, 10, "a.txt"), (2, 20, "b.txt")])
+    w.delete_rows([(1, 10, "a.txt")])
+    evs = decode_binlog(bytes(w.buf))
+    assert [e["op"] for e in evs] == ["insert", "insert", "delete"]
+    assert evs[1]["after"] == (2, 20, "b.txt")
+
+
+def test_partial_row_image_raises_loudly():
+    """ADVICE r04: binlog_row_image=MINIMAL partial images must raise,
+    not silently bind values to the wrong columns."""
+    w = BinlogWriter(SCHEMA)
+    w.write_rows([(1, 10, "a.txt")])
+    raw = bytearray(w.buf)
+    # locate the WRITE_V2 event by walking declared sizes; its
+    # present-column bitmap is the byte after post-header(10) + lenenc
+    # ncols(1). Clear column 1's bit → MINIMAL-style partial image.
+    off, write_off = 4, None
+    while off + 19 <= len(raw):
+        etype = raw[off + 4]
+        size = struct.unpack_from("<I", raw, off + 9)[0]
+        if etype == 30:
+            write_off = off
+        off += size
+    bitmap_off = write_off + 19 + 10 + 1
+    assert raw[bitmap_off] == 0xFF
+    raw[bitmap_off] &= ~0x02
+    with pytest.raises(ValueError, match="partial row image"):
+        decode_binlog(bytes(raw))
+
+
 def test_spark_binlog_feed_and_merge_roundtrip(spark, tmp_path):
     """Two rotated segments decode in parallel, normalize through
     from_mysql_rows, and apply through the standard MERGE — final table

@@ -7,6 +7,7 @@ them — only the walsender transport stays a sandbox stand-in."""
 import pytest
 
 from replicator_spark.sources.pgoutput import (
+    UNCHANGED,
     PgOutputWriter,
     decode_pgoutput,
     read_pgoutput_feed,
@@ -35,6 +36,40 @@ def test_roundtrip_decode_with_real_column_names():
     assert evs[3]["old"]["id"] == "1"
     lsns = [e["lsn"] for e in evs]
     assert lsns == sorted(lsns)  # WAL order
+
+
+def test_unchanged_toast_is_absent_not_null():
+    """ADVICE r04: TupleData 'u' (unchanged TOAST) must decode as
+    column-ABSENT with partial=True — not as SQL NULL, which would make
+    the LWW merge overwrite a stored TOAST value with null."""
+    w = PgOutputWriter(columns=["id", "rev", "blob"])
+    w.begin(xid=1)
+    w.insert(("1", "10", "big-toast-value"))
+    # update that doesn't touch the TOASTed column: walsender sends 'u'
+    w.update(("1", "11", UNCHANGED), old=("1", "10", None))
+    # contrast: an update that really nulls the column sends 'n'
+    w.update(("1", "12", None), old=("1", "11", None))
+    w.commit()
+    evs = decode_pgoutput(bytes(w.buf))
+    assert evs[0]["partial"] is False and "blob" in evs[0]["new"]
+    assert evs[1]["partial"] is True
+    assert "blob" not in evs[1]["new"]  # absent, not None
+    assert evs[1]["new"] == {"id": "1", "rev": "11"}
+    assert evs[2]["partial"] is False
+    assert evs[2]["new"]["blob"] is None  # real SQL NULL stays null
+
+
+def test_spark_feed_routes_unchanged_toast_as_partial(spark, tmp_path):
+    d = str(tmp_path / "wal_toast")
+    w = PgOutputWriter(columns=["id", "rev", "blob"])
+    w.begin(xid=1)
+    w.insert(("1", "10", "toast"))
+    w.update(("1", "11", UNCHANGED), old=("1", "10", None))
+    w.commit()
+    w.save(f"{d}/seg.000001")
+    rows = read_pgoutput_feed(spark, d).orderBy("seq").collect()
+    assert [r["partial"] for r in rows] == [False, True]
+    assert "blob" not in rows[1]["tuple"]  # key absent from the map
 
 
 def test_decode_rejects_unknown_messages():
