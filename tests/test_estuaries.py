@@ -74,10 +74,19 @@ def test_kafka_wire_sink_produce_decode_roundtrip(spark, tmp_path):
     from replicator_spark.estuaries import KafkaWireSink
     from replicator_spark.sources.kafka_wire import read_kafka_segments
 
+    import os
+
     out = str(tmp_path / "wire")
     sink = KafkaWireSink(out, num_partitions=4)
     b0 = _prepared(spark, tmp_path, n=400)
     sink.write(b0, "b0")
+    # executors spooled, driver only patched headers + linked: the
+    # batch's spool dir is gone and no stray files sit beside segments
+    assert not os.path.exists(os.path.join(out, ".spool", "b0"))
+    for p in range(4):
+        d = os.path.join(out, f"partition={p}")
+        if os.path.isdir(d):
+            assert all(n.endswith(".log") for n in os.listdir(d))
     feed1 = read_kafka_segments(spark, out, topic="repos").collect()
     assert len(feed1) == b0.count()
     # values decode to the full row JSON
@@ -129,9 +138,19 @@ def test_kafka_wire_sink_guards(spark, tmp_path):
     w.append_batch([(b"k", b"v"), (b"k2", b"v2")])
     seg = bytes(w.buf)
 
-    # 1) normal append lands at base 0; next lands at base 2
-    sink._append(0, seg)
-    sink._append(0, seg)
+    spooled = iter(range(100))
+
+    def spool():
+        # _publish patches the spool file in place, so every publish
+        # needs a FRESH spool file (exactly what executors produce)
+        p = str(tmp_path / f"spool-{next(spooled)}.seg")
+        with open(p, "wb") as f:
+            f.write(seg)
+        return p
+
+    # 1) normal publish lands at base 0; next lands at base 2
+    sink._publish(0, spool())
+    sink._publish(0, spool())
     names = sorted(os.listdir(os.path.join(out, "partition=0")))
     assert names == [f"{0:020d}.log", f"{2:020d}.log"]
 
@@ -139,7 +158,7 @@ def test_kafka_wire_sink_guards(spark, tmp_path):
     conflict = os.path.join(out, "partition=0", f"{4:020d}.log")
     open(conflict, "wb").close()
     with pytest.raises(RuntimeError, match="concurrent producer"):
-        sink._append(0, seg)
+        sink._publish(0, spool())
 
     # 3) crossing the 2^40 seq budget raises at PRODUCE time
     d1 = os.path.join(out, "partition=1")
@@ -149,7 +168,7 @@ def test_kafka_wire_sink_guards(spark, tmp_path):
     with open(os.path.join(d1, f"{(1 << 40) - 1:020d}.log"), "wb") as f:
         f.write(bytes(big.buf))
     with pytest.raises(ValueError, match="2\\^40 offset budget"):
-        sink._append(1, seg)
+        sink._publish(1, spool())
 
 
 def test_kafka_partition_from_leaf_dir_only(spark, tmp_path):
