@@ -11,13 +11,16 @@ batch keys — which is what makes micro-batch application idempotent
 reference only *declared* this, its checkpoints are no-ops —
 ``pkg/streams/mysql_stream.go:190-207``).
 
-Ingest is single-writer-per-table (the Spark driver), matching
-Structured Streaming's one-query-per-checkpoint model — but the commit
-itself is guarded by a compare-and-swap (exclusive create of
-``v{N}.json``): a second writer racing the same version — e.g. a
-maintenance ``compact`` cron racing the ingest job — fails loudly with
-:class:`CommitConflictError` instead of silently vanishing a commit.
-``compact`` retries against the new current snapshot. On a shared
+Each STREAM is single-writer (Structured Streaming's one-query-per-
+checkpoint model), but a table accepts multiple concurrent writers:
+the commit is guarded by a compare-and-swap (exclusive create of
+``v{N}.json``), so a second writer racing the same version — another
+stream fanning into the table, or a maintenance ``compact`` cron —
+fails loudly with :class:`CommitConflictError` instead of silently
+vanishing a commit. ``compact`` retries against the new current
+snapshot, and ``LakeTable.merge`` retries-with-rebase when the winner
+touched a disjoint bucket set (laketable._assert_rebase_safe);
+overlapping or schema-changing races keep the loud error. On a shared
 object store the CAS becomes a conditional PUT / catalog swap; the API
 is unchanged.
 
@@ -350,9 +353,9 @@ def commit_snapshot(root: str, snap: Snapshot) -> None:
     data/manifest files become unreferenced garbage, exactly like a
     crashed commit. This is Iceberg's catalog CAS expressed on a local
     FS; on an object store it becomes a conditional PUT. The loser must
-    re-run against the new current snapshot (``compact`` does this
-    automatically; ingest merges are single-writer-per-table by
-    contract).
+    re-run against the new current snapshot (``compact`` retries from
+    scratch; ``LakeTable.merge`` rebases its already-written files onto
+    the fresh snapshot when the winner's touched buckets are disjoint).
 
     A crash between the two steps leaves a dangling v{N}.json (and
     possibly manifests) that the hint never references — harmless; a

@@ -600,57 +600,143 @@ class LakeTable:
         if pre_commit_check is not None:
             pre_commit_check()
 
-        committed = dict(snap.committed_batches)
-        new_version = snap.version + 1
-        committed[batch_key] = new_version
-        committed, floor = cl.retain_ledger(committed, snap.ledger_floor, ledger_keep)
-        prev_max = (snap.props or {}).get("max_seq")
-        seqs = [x for x in (prev_max, stats.seq_hi) if x is not None]
-        max_seq = max(seqs) if seqs else None
-        sid, slog = self._schema_meta(snap)
-        if evolved_schema.json() != snap.schema_json:
-            sid = new_version
-            slog[str(sid)] = evolved_schema.json()
-        file_stats, file_sids = self._next_file_meta(snap, files, deltas, sid)
-        # per-bucket tombstone stats describe BASE files only: mor
-        # appends deltas (base untouched → carry); cow rewrote its
-        # touched buckets and recorded their exact fresh stats
-        bucket_tombstones = dict((snap.props or {}).get("bucket_tombstones", {}))
-        if mode != "mor":
-            bucket_tombstones.update(cow_tombstones)
-        nsnap = cl.Snapshot(
-            version=new_version,
-            parent=snap.version,
-            schema_json=evolved_schema.json(),
-            num_buckets=nb,
-            files=files,
-            committed_batches=committed,
-            props={
-                **(props or {}),
-                "batch_key": batch_key,
-                "deltas": deltas,
-                "max_seq": max_seq,
-                "schema_id": sid,
-                "schema_log": slog,
-                "bucket_tombstones": bucket_tombstones,
-            },
-            key_cols=snap.key_cols,
-            ledger_floor=floor,
-            file_stats=file_stats,
-            file_schema_ids=file_sids,
-        )
-        cl.commit_snapshot(self.root, nsnap)
-        stats.version = new_version
+        def _build(base, cur_files, cur_deltas):
+            committed = dict(base.committed_batches)
+            new_version = base.version + 1
+            committed[batch_key] = new_version
+            committed, floor = cl.retain_ledger(
+                committed, base.ledger_floor, ledger_keep
+            )
+            prev_max = (base.props or {}).get("max_seq")
+            seqs = [x for x in (prev_max, stats.seq_hi) if x is not None]
+            max_seq = max(seqs) if seqs else None
+            sid, slog = self._schema_meta(base)
+            if evolved_schema.json() != base.schema_json:
+                sid = new_version
+                slog[str(sid)] = evolved_schema.json()
+            file_stats, file_sids = self._next_file_meta(
+                base, cur_files, cur_deltas, sid
+            )
+            # per-bucket tombstone stats describe BASE files only: mor
+            # appends deltas (base untouched → carry); cow rewrote its
+            # touched buckets and recorded their exact fresh stats
+            bucket_tombstones = dict(
+                (base.props or {}).get("bucket_tombstones", {})
+            )
+            if mode != "mor":
+                bucket_tombstones.update(cow_tombstones)
+            return cl.Snapshot(
+                version=new_version,
+                parent=base.version,
+                schema_json=evolved_schema.json(),
+                num_buckets=nb,
+                files=cur_files,
+                committed_batches=committed,
+                props={
+                    **(props or {}),
+                    "batch_key": batch_key,
+                    "deltas": cur_deltas,
+                    "max_seq": max_seq,
+                    "schema_id": sid,
+                    "schema_log": slog,
+                    "bucket_tombstones": bucket_tombstones,
+                },
+                key_cols=base.key_cols,
+                ledger_floor=floor,
+                file_stats=file_stats,
+                file_schema_ids=file_sids,
+            )
+
+        # Commit with retry-with-rebase (VERDICT r04 #4): two streams
+        # fanning into one table from separate drivers race the same
+        # version; when the winner touched a DISJOINT bucket set, the
+        # loser's file-level work is still valid against the fresh
+        # snapshot — replay it as metadata (re-point untouched buckets
+        # at the winner's lists, keep ours for our buckets, merge the
+        # ledger) instead of discarding the batch. Overlapping buckets
+        # or a concurrent schema/shape change keep the loud error.
+        base, cur_files, cur_deltas = snap, files, deltas
+        max_rebase = 8
+        for attempt in range(max_rebase + 1):
+            nsnap = _build(base, cur_files, cur_deltas)
+            try:
+                cl.commit_snapshot(self.root, nsnap)
+                break
+            except cl.CommitConflictError:
+                fresh = self._snap()
+                done = cl.is_committed(fresh, batch_key)
+                if done is not None:
+                    # the concurrent writer WAS this batch (e.g. a
+                    # crashed-and-restarted driver): exactly-once holds,
+                    # our data files are unreferenced garbage for GC
+                    return MergeStats(batch_key, done, replayed=True, mode=mode)
+                if fresh.version <= base.version or attempt >= max_rebase:
+                    # no committed progress to rebase onto (dangling
+                    # mid-commit leftover) or pathological contention
+                    raise
+                self._assert_rebase_safe(snap, fresh, touched)
+                cur_files, cur_deltas = self._rebase_lists(
+                    fresh, files, deltas, touched, mode
+                )
+                base = fresh
+        stats.version = nsnap.version
         stats.schema_evolved = len(new_cols) + len(type_changed)
         stats.touched_buckets = len(touched)
         if mode == "mor":
-            max_chain = max((len(v) for v in deltas.values()), default=0)
+            max_chain = max((len(v) for v in cur_deltas.values()), default=0)
             if max_chain >= compact_after_deltas:
                 expire = None
+                max_seq = (nsnap.props or {}).get("max_seq")
                 if tombstone_retention is not None and max_seq is not None:
                     expire = max_seq - tombstone_retention
                 self.compact(expire_tombstones_below_seq=expire)
         return stats
+
+    def _assert_rebase_safe(self, orig, fresh, touched) -> None:
+        """A concurrent commit is rebase-safe for this merge iff it
+        left our touched buckets' file lists untouched and changed no
+        table shape (schema, schema log, bucket count, key columns).
+        Anything else re-raises the loud conflict — overlapping merges
+        must be replayed against current state, not auto-merged."""
+        if fresh.num_buckets != orig.num_buckets or fresh.key_cols != orig.key_cols:
+            raise cl.CommitConflictError(
+                "concurrent table-shape change; cannot rebase this merge"
+            )
+        if fresh.schema_json != orig.schema_json or (
+            (fresh.props or {}).get("schema_log")
+            != (orig.props or {}).get("schema_log")
+        ):
+            raise cl.CommitConflictError(
+                "concurrent schema evolution; cannot rebase this merge"
+            )
+        od, fd = self._deltas(orig), self._deltas(fresh)
+        for b in touched:
+            k = str(b)
+            if fresh.files.get(k) != orig.files.get(k) or fd.get(k) != od.get(k):
+                raise cl.CommitConflictError(
+                    f"bucket {k} was modified by a concurrent writer; "
+                    "overlapping merges cannot rebase — re-run against "
+                    "the current snapshot"
+                )
+
+    def _rebase_lists(self, fresh, files, deltas, touched, mode):
+        """Re-derive (files, deltas) against the fresh snapshot: every
+        untouched bucket takes the winner's lists verbatim; our touched
+        buckets keep OUR lists (valid because ``_assert_rebase_safe``
+        proved the winner didn't move them: for mor our entry is the
+        shared base + our appended delta files, for cow our rewritten
+        base files)."""
+        tkeys = {str(b) for b in touched}
+        cur_files = dict(fresh.files)
+        cur_deltas = {b: list(v) for b, v in self._deltas(fresh).items()}
+        for k in tkeys:
+            if k in files:
+                cur_files[k] = files[k]
+            if k in deltas:
+                cur_deltas[k] = deltas[k]
+            elif mode != "mor":
+                cur_deltas.pop(k, None)  # cow rewrite folds deltas in
+        return cur_files, cur_deltas
 
     def _upgrade_partials(
         self, snap, src, key_cols, all_payload, seq_col, op_col
@@ -777,7 +863,7 @@ class LakeTable:
         result = j.select(*proj)
 
         new_version = snap.version + 1
-        out_dir = f"{self.root}/data/v{new_version}"
+        out_dir = self._new_data_dir(new_version)
         self._write_buckets(result, out_dir, touched, key_cols, files_per_bucket)
         m = obs.get
 
@@ -848,7 +934,7 @@ class LakeTable:
             F.max(F.col(LAST_SEQ_COL)).alias("seq_hi"),
         )
         new_version = snap.version + 1
-        out_dir = f"{self.root}/data/v{new_version}"
+        out_dir = self._new_data_dir(new_version)
         self._write_buckets(
             delta, out_dir, range(snap.num_buckets), key_cols, files_per_bucket
         )
@@ -960,7 +1046,7 @@ class LakeTable:
                 | (F.col(LAST_SEQ_COL) >= F.lit(expire_tombstones_below_seq))
             )
         new_version = snap.version + 1
-        out_dir = f"{self.root}/data/v{new_version}"
+        out_dir = self._new_data_dir(new_version)
         self._write_buckets(
             resolved, out_dir, [int(b) for b in todo], table_keys, files_per_bucket
         )
@@ -1200,6 +1286,20 @@ class LakeTable:
 
         with ThreadPoolExecutor(min(8, len(paths))) as ex:
             return dict(zip(paths, ex.map(one, paths)))
+
+    def _new_data_dir(self, version: int) -> str:
+        """Writer-unique data dir for a prospective version. Two
+        writers racing the same version must never share one directory
+        — ``_write_buckets`` uses overwrite mode, so a shared dir would
+        clobber the other writer's files BEFORE the snapshot CAS even
+        decides the race, and ``_list_bucket_files`` would credit the
+        loser's files to the winner. GC is reference-based (realpath
+        set membership), so the random suffix is free; the version in
+        the name is a human breadcrumb only and may lag the committed
+        version after a rebase."""
+        import uuid
+
+        return f"{self.root}/data/v{version}-{uuid.uuid4().hex[:8]}"
 
     def _next_file_meta(
         self,

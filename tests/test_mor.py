@@ -92,8 +92,10 @@ def test_torn_write_recovery(spark, feed, tmp_path):
     """Crash AFTER delta data files are written but BEFORE the snapshot
     commit (the torn state the two-step commit permits): the version
     hint still points at the old snapshot, so the orphan data dir is
-    invisible to readers, and the re-driven batch overwrites it —
-    no duplicate, no loss."""
+    invisible to readers; the re-driven batch writes its own
+    writer-unique dir (r5 — racing writers must never share one), and
+    the torn garbage is removed by reference-based GC — no duplicate,
+    no loss, no garbage ever read."""
     import os
     import shutil
 
@@ -126,8 +128,19 @@ def test_torn_write_recovery(spark, feed, tmp_path):
     # the batch is re-driven (crash recovery): apply normally
     replay_feed(spark, feed, table, mode="mor", batches=[last], write_metrics=False)
     assert table._snap().version == v_before + 1
-    # the overwrite-mode write must have replaced the torn dir entirely
-    assert not os.path.exists(f"{orphan_dir}/repo_bucket=0/part-torn.parquet")
+    # the torn file is never referenced by any snapshot, so it is
+    # invisible to reads and reference-based GC removes it (min_age 0:
+    # no writer is active in this test)
+    torn = f"{orphan_dir}/repo_bucket=0/part-torn.parquet"
+    snap = table._snap()
+    referenced = {
+        os.path.realpath(p)
+        for fs in list(snap.files.values()) + list(table._deltas(snap).values())
+        for p in fs
+    }
+    assert os.path.realpath(torn) not in referenced
+    table.expire_snapshots(keep_last=100, min_age_s=0)
+    assert not os.path.exists(torn)
 
     # final state equals the sequential oracle over the whole feed
     events = [r.asDict(recursive=True) for r in spark.read.parquet(feed).collect()]
