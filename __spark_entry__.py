@@ -2932,6 +2932,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only (honestly non-SQL: stubbed media codecs):
         "media_features": q_media_features,
         "frame_sample": q_frame_sample,
+        # oracle-gated (SQL_repo_activity_stateful value-matches the
+        # stateful stream's output — listed last only by history):
         "repo_activity_stateful": q_repo_activity_stateful,
     }
 

@@ -583,9 +583,16 @@ def strip_duplicated_substrings(
     Returns (id, n_tokens, n_removed, cleaned) — cleaned is the
     stripped text (empty string when everything was duplicated).
     """
-    words = F.split(F.trim(F.col(text_col)), r"\s+")
-    toks = df.select(
+    # split once into an attribute (≥2 references block CollapseProject)
+    # — capturing the split() expression in the gram lambda would
+    # re-tokenize the whole doc per start position: O(tokens × doc_len)
+    wdf = df.select(
         F.col(id_col).alias("_id"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("_w"),
+    )
+    words = F.col("_w")
+    toks = wdf.select(
+        "_id",
         F.posexplode(words).alias("pos", "tok"),
     )
     n_starts = F.greatest(F.size(words) - (k - 1), F.lit(0))
@@ -595,8 +602,8 @@ def strip_duplicated_substrings(
     starts_seq = F.slice(
         F.sequence(F.lit(1), F.greatest(n_starts, F.lit(1))), 1, n_starts
     )
-    grams = df.select(
-        F.col(id_col).alias("_id"),
+    grams = wdf.select(
+        "_id",
         F.explode(
             F.transform(
                 starts_seq,
@@ -628,9 +635,7 @@ def strip_duplicated_substrings(
             ),
         ).alias("cleaned"),
     )
-    totals = df.select(
-        F.col(id_col).alias("_id"), F.size(words).alias("n_tokens")
-    )
+    totals = wdf.select("_id", F.size(words).alias("n_tokens"))
     return (
         totals.join(assembled, "_id", "left")
         .select(

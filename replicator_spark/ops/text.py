@@ -238,7 +238,17 @@ def benchmark_ngram_collisions(
     """
 
     def grams(df: DataFrame, keep_id: bool) -> DataFrame:
-        toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        # materialize the token array in its own projection: the
+        # transform lambda below must reference an ATTRIBUTE, not the
+        # split() expression — an expression captured in a lambda is
+        # re-evaluated per element, turning the gram build O(tokens ×
+        # doc_len). The alias is referenced ≥2× (size + lambda), which
+        # blocks CollapseProject from inlining it back.
+        wdf = df.select(
+            *([F.col(id_col)] if keep_id else []),
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("_toks"),
+        )
+        toks = F.col("_toks")
         k = F.size(toks) - F.lit(n - 1)
         hashes = F.when(
             k >= 1,
@@ -247,7 +257,7 @@ def benchmark_ngram_collisions(
                 lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, n))),
             ),
         ).otherwise(F.array().cast("array<bigint>"))
-        out = df.select(
+        out = wdf.select(
             *( [F.col(id_col)] if keep_id else [] ),
             F.explode(F.array_distinct(hashes)).alias("gram_h"),
         )
@@ -340,7 +350,12 @@ def chunk_documents(
     if overlap >= max_tokens:
         raise ValueError(f"overlap {overlap} must be < max_tokens {max_tokens}")
     stride = max_tokens - overlap
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    # split once into an attribute — a split() captured in the chunk
+    # lambda would re-tokenize the whole doc per chunk (O(chunks × len))
+    wdf = df.select(
+        F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("_toks")
+    )
+    toks = F.col("_toks")
     n = F.size(toks)
     # number of windows: ceil((n - overlap) / stride), min 1
     n_chunks = F.greatest(
@@ -356,7 +371,7 @@ def chunk_documents(
             ).alias("chunk_text"),
         ),
     )
-    return df.select(
+    return wdf.select(
         F.col(id_col), F.explode(chunks).alias("c")
     ).select(
         id_col,
@@ -544,10 +559,17 @@ def ngram_novelty(
 
     Returns (id, n_grams, seen_frac).
     """
-    words = F.split(F.trim(F.col(text_col)), r"\s+")
-    idx = F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(1)))
-    grams = df.select(
+    # split once into an attribute (≥2 references block CollapseProject)
+    # — capturing the split() expression in the transform lambda would
+    # re-tokenize the whole doc per gram: O(tokens × doc_len)
+    wdf = df.select(
         F.col(id_col).alias("_id"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("_w"),
+    )
+    words = F.col("_w")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(1)))
+    grams = wdf.select(
+        "_id",
         F.explode(
             F.transform(
                 idx,
