@@ -649,12 +649,19 @@ class LakeTable:
 
         # Commit with retry-with-rebase (VERDICT r04 #4): two streams
         # fanning into one table from separate drivers race the same
-        # version; when the winner touched a DISJOINT bucket set, the
-        # loser's file-level work is still valid against the fresh
-        # snapshot — replay it as metadata (re-point untouched buckets
-        # at the winner's lists, keep ours for our buckets, merge the
-        # ledger) instead of discarding the batch. Overlapping buckets
-        # or a concurrent schema/shape change keep the loud error.
+        # version; the loser's file-level work is still valid against
+        # the fresh snapshot in two cases, and then it is replayed as
+        # metadata instead of discarding the batch:
+        #  * a non-partial mor merge NEVER reads table state (the delta
+        #    append is derived from the batch alone), so it rebases over
+        #    ANY concurrent data commit — overlapping buckets included,
+        #    which is the realistic fan-in shape since hash bucketing
+        #    mixes every stream's keys into every bucket. LWW resolve
+        #    is seq-ordered and commutative, so append order is free.
+        #  * cow rewrites, and mor merges that upgraded partial rows
+        #    (both READ the snapshot they started from), rebase only
+        #    when the winner's touched buckets are provably disjoint.
+        # A concurrent schema/shape change always keeps the loud error.
         base, cur_files, cur_deltas = snap, files, deltas
         max_rebase = 8
         for attempt in range(max_rebase + 1):
@@ -663,7 +670,12 @@ class LakeTable:
                 cl.commit_snapshot(self.root, nsnap)
                 break
             except cl.CommitConflictError:
-                fresh = self._snap()
+                # the CAS loser can observe the winner BETWEEN its two
+                # commit steps (v{N}.json created, hint not yet
+                # swapped): the hint is milliseconds away, so poll
+                # briefly before concluding the conflicting file is a
+                # crashed writer's dangling leftover
+                fresh = self._wait_for_commit_progress(base.version)
                 done = cl.is_committed(fresh, batch_key)
                 if done is not None:
                     # the concurrent writer WAS this batch (e.g. a
@@ -674,9 +686,12 @@ class LakeTable:
                     # no committed progress to rebase onto (dangling
                     # mid-commit leftover) or pathological contention
                     raise
-                self._assert_rebase_safe(snap, fresh, touched)
+                self._assert_rebase_safe(
+                    snap, fresh, touched, mode, has_partial
+                )
                 cur_files, cur_deltas = self._rebase_lists(
-                    fresh, files, deltas, touched, mode
+                    fresh, files, deltas, touched, mode,
+                    orig=snap, has_partial=has_partial,
                 )
                 base = fresh
         stats.version = nsnap.version
@@ -692,12 +707,38 @@ class LakeTable:
                 self.compact(expire_tombstones_below_seq=expire)
         return stats
 
-    def _assert_rebase_safe(self, orig, fresh, touched) -> None:
+    def _wait_for_commit_progress(self, base_version: int, timeout_s: float = 2.0):
+        """Poll the snapshot until its version advances past
+        ``base_version`` or the timeout lapses, returning the freshest
+        snapshot either way. Covers the CAS winner's two-step commit
+        window (v{N}.json exists, hint swap pending — normally
+        microseconds); a winner that CRASHED inside that window never
+        advances the hint, and the caller falls through to the loud
+        dangling-commit error exactly as before."""
+        import time as _time
+
+        deadline = _time.monotonic() + timeout_s
+        delay = 0.001
+        fresh = self._snap()
+        while fresh.version <= base_version and _time.monotonic() < deadline:
+            _time.sleep(delay)
+            delay = min(delay * 2, 0.1)
+            fresh = self._snap()
+        return fresh
+
+    def _assert_rebase_safe(
+        self, orig, fresh, touched, mode="cow", has_partial=False
+    ) -> None:
         """A concurrent commit is rebase-safe for this merge iff it
-        left our touched buckets' file lists untouched and changed no
-        table shape (schema, schema log, bucket count, key columns).
-        Anything else re-raises the loud conflict — overlapping merges
-        must be replayed against current state, not auto-merged."""
+        changed no table shape (schema, schema log, bucket count, key
+        columns) and — for merges that READ the snapshot they started
+        from (cow rewrites, mor partial upgrades) — left our touched
+        buckets' file lists untouched. A non-partial mor merge skips
+        the bucket check entirely: its delta append is derived from the
+        batch alone, so it layers over any concurrent data commit.
+        Anything else re-raises the loud conflict — state-reading
+        overlapping merges must be replayed against current state, not
+        auto-merged."""
         if fresh.num_buckets != orig.num_buckets or fresh.key_cols != orig.key_cols:
             raise cl.CommitConflictError(
                 "concurrent table-shape change; cannot rebase this merge"
@@ -709,26 +750,47 @@ class LakeTable:
             raise cl.CommitConflictError(
                 "concurrent schema evolution; cannot rebase this merge"
             )
+        if mode == "mor" and not has_partial:
+            return  # append-only: overlap is fine, no bucket check
         od, fd = self._deltas(orig), self._deltas(fresh)
         for b in touched:
             k = str(b)
             if fresh.files.get(k) != orig.files.get(k) or fd.get(k) != od.get(k):
                 raise cl.CommitConflictError(
                     f"bucket {k} was modified by a concurrent writer; "
-                    "overlapping merges cannot rebase — re-run against "
-                    "the current snapshot"
+                    "overlapping state-reading merges cannot rebase — "
+                    "re-run against the current snapshot"
                 )
 
-    def _rebase_lists(self, fresh, files, deltas, touched, mode):
-        """Re-derive (files, deltas) against the fresh snapshot: every
-        untouched bucket takes the winner's lists verbatim; our touched
-        buckets keep OUR lists (valid because ``_assert_rebase_safe``
-        proved the winner didn't move them: for mor our entry is the
-        shared base + our appended delta files, for cow our rewritten
-        base files)."""
+    def _rebase_lists(
+        self, fresh, files, deltas, touched, mode, *, orig, has_partial=False
+    ):
+        """Re-derive (files, deltas) against the fresh snapshot.
+
+        Non-partial mor (append-only, overlap allowed): base files are
+        the winner's verbatim (mor never touches base), and each touched
+        bucket's delta chain is the WINNER's chain plus the delta files
+        this merge wrote (ours = our list minus the orig snapshot's —
+        LWW resolve is seq-ordered, so chain order between concurrent
+        writers is immaterial).
+
+        State-reading merges (cow; mor with partial upgrades —
+        disjointness proved by ``_assert_rebase_safe``): every untouched
+        bucket takes the winner's lists verbatim; our touched buckets
+        keep OUR lists (valid because the winner didn't move them: for
+        mor the shared base + our appended delta files, for cow our
+        rewritten base files)."""
         tkeys = {str(b) for b in touched}
         cur_files = dict(fresh.files)
         cur_deltas = {b: list(v) for b, v in self._deltas(fresh).items()}
+        if mode == "mor" and not has_partial:
+            orig_deltas = self._deltas(orig)
+            for k in tkeys:
+                prev = set(orig_deltas.get(k, []))
+                ours = [f for f in deltas.get(k, []) if f not in prev]
+                if ours:
+                    cur_deltas[k] = cur_deltas.get(k, []) + ours
+            return cur_files, cur_deltas
         for k in tkeys:
             if k in files:
                 cur_files[k] = files[k]

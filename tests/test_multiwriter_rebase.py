@@ -94,7 +94,10 @@ def test_disjoint_concurrent_merges_both_land(spark, tmp_path, mode):
     assert rows[ids[0][0]] == f"a2-{ids[0][0]}"
 
 
-def test_overlapping_concurrent_merges_stay_loud(spark, tmp_path):
+def test_overlapping_cow_merges_stay_loud(spark, tmp_path):
+    """cow REWRITES its touched buckets from the snapshot it read, so
+    an overlapping concurrent commit invalidates the rewrite — the
+    conflict must stay loud, never auto-merge."""
     ta = _fresh_table(spark, tmp_path, "t_overlap")
     tb = LakeTable(spark, ta.root)
     ids = _ids_by_bucket(spark)
@@ -102,11 +105,11 @@ def test_overlapping_concurrent_merges_stay_loud(spark, tmp_path):
     b = _batch(spark, ids[0][:3], 200, "b")  # SAME bucket → overlap
 
     def competing_commit():
-        tb.merge(b, "sB-0", mode="mor", key_cols=("id",))
+        tb.merge(b, "sB-0", mode="cow", key_cols=("id",))
 
     with pytest.raises(CommitConflictError, match="concurrent writer"):
         ta.merge(
-            a, "sA-0", mode="mor", key_cols=("id",),
+            a, "sA-0", mode="cow", key_cols=("id",),
             pre_commit_check=competing_commit,
         )
     # the winner's commit is intact; the loser left no committed trace
@@ -114,6 +117,120 @@ def test_overlapping_concurrent_merges_stay_loud(spark, tmp_path):
     assert ta.is_committed("sA-0") is None
     rows = {r["id"]: r["v"] for r in ta.read().collect()}
     assert rows[ids[0][0]] == f"b-{ids[0][0]}"
+
+
+def test_overlapping_mor_appends_rebase(spark, tmp_path):
+    """A non-partial mor merge derives its delta files from the batch
+    alone, so it rebases over a concurrent commit even when the bucket
+    sets OVERLAP — the realistic fan-in shape (hash bucketing mixes
+    every stream's keys into every bucket). Both writers' rows land;
+    keys written by both resolve by seq-ordered LWW."""
+    ta = _fresh_table(spark, tmp_path, "t_mor_overlap")
+    tb = LakeTable(spark, ta.root)
+    ids = _ids_by_bucket(spark)
+    # same buckets, partly the same KEYS: b rewrites ids[0][:2] at
+    # higher seqs and also touches bucket 1
+    a = _batch(spark, ids[0], 100, "a")
+    b = _batch(spark, ids[0][:2] + ids[1][:2], 200, "b")
+
+    st_b = {}
+
+    def competing_commit():
+        st_b["stats"] = tb.merge(b, "sB-0", mode="mor", key_cols=("id",))
+
+    st_a = ta.merge(
+        a, "sA-0", mode="mor", key_cols=("id",), pre_commit_check=competing_commit
+    )
+    assert st_b["stats"].version == 1
+    assert st_a.version == 2 and st_a.replayed is False
+    rows = {r["id"]: r["v"] for r in ta.read().collect()}
+    # b's seqs (200+) beat a's (100+) on the contended keys
+    assert all(rows[i] == f"b-{i}" for i in ids[0][:2] + ids[1][:2])
+    assert all(rows[i] == f"a-{i}" for i in ids[0][2:])
+    # a later seq from a reclaims a contended key — LWW stays live
+    st2 = ta.merge(
+        _batch(spark, ids[0][:1], 300, "a2"), "sA-1", mode="mor",
+        key_cols=("id",),
+    )
+    assert st2.version == 3
+    assert {r["id"]: r["v"] for r in ta.read().collect()}[ids[0][0]] == (
+        f"a2-{ids[0][0]}"
+    )
+
+
+def test_overlapping_partial_mor_stays_loud(spark, tmp_path):
+    """A mor merge that upgraded partial rows READ the snapshot it
+    started from (the touched buckets' state) — an overlapping
+    concurrent commit invalidates that read, so the conflict stays
+    loud for partial-bearing batches."""
+    ta = _fresh_table(spark, tmp_path, "t_partial_overlap")
+    tb = LakeTable(spark, ta.root)
+    ids = _ids_by_bucket(spark)
+    ta.merge(_batch(spark, ids[0], 50, "base"), "sA-0", mode="mor",
+             key_cols=("id",))
+    a = _batch(spark, ids[0][:3], 100, "a").withColumn(
+        "_partial", F.lit(True)
+    )
+    b = _batch(spark, ids[0][3:5], 200, "b")  # same bucket → overlap
+
+    def competing_commit():
+        tb.merge(b, "sB-0", mode="mor", key_cols=("id",))
+
+    with pytest.raises(CommitConflictError, match="concurrent writer"):
+        ta.merge(
+            a, "sA-1", mode="mor", key_cols=("id",),
+            pre_commit_check=competing_commit,
+        )
+    assert ta.is_committed("sA-1") is None
+
+
+def test_two_threads_concurrent_mor_fanin(spark, tmp_path):
+    """True concurrency, no deterministic interleave: two threads with
+    separate table handles each merge 4 mor batches of their own stream
+    into one table as fast as they can. Hash bucketing overlaps their
+    buckets constantly; every conflict must resolve by rebase, all 8
+    commits land, and the final state is the union with per-key LWW."""
+    import threading
+
+    ta = _fresh_table(spark, tmp_path, "t_threads")
+    ids = _ids_by_bucket(spark, per_bucket=20)
+    all_ids = ids[0] + ids[1]
+    streams = {"sA": all_ids[0::2], "sB": all_ids[1::2]}
+    errs: list[Exception] = []
+
+    def writer(stream: str, keys: list[str]) -> None:
+        t = LakeTable(spark, ta.root)
+        try:
+            for n in range(4):
+                chunk = keys[n * 4 : (n + 1) * 4]
+                # compaction disabled: it adds its own version bump,
+                # which would make the version==8 assert below racy
+                t.merge(
+                    _batch(spark, chunk, 1000 * n, stream),
+                    f"{stream}-{n}", mode="mor", key_cols=("id",),
+                    compact_after_deltas=10_000,
+                )
+        except Exception as e:  # pragma: no cover - failure path
+            errs.append(e)
+
+    threads = [
+        threading.Thread(target=writer, args=(s, k))
+        for s, k in streams.items()
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert errs == []
+    snap = ta._snap()
+    assert snap.version == 8  # every commit bumped exactly one version
+    for s in streams:
+        for n in range(4):
+            assert ta.is_committed(f"{s}-{n}") is not None
+    rows = {r["id"]: r["v"] for r in ta.read().collect()}
+    for s, keys in streams.items():
+        for k in keys[:16]:
+            assert rows[k] == f"{s}-{k}"
 
 
 def test_duplicate_batch_key_resolves_as_replay(spark, tmp_path):
