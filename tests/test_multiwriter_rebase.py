@@ -184,6 +184,72 @@ def test_overlapping_partial_mor_stays_loud(spark, tmp_path):
     assert ta.is_committed("sA-1") is None
 
 
+def test_mor_merge_rebases_over_concurrent_compaction(spark, tmp_path):
+    """The other direction of the maintenance race: compact() losing to
+    an ingest commit is pinned in test_commitlog_bounds; here the INGEST
+    merge loses CAS to a compaction that folded every delta chain into
+    base. A non-partial mor merge's delta files derive from the batch
+    alone, so layering them over the compacted lists is exactly the
+    sequential outcome — the rebase must land, with LWW intact."""
+    ta = _fresh_table(spark, tmp_path, "t_compact_race")
+    tb = LakeTable(spark, ta.root)
+    ids = _ids_by_bucket(spark)
+    ta.merge(
+        _batch(spark, ids[0] + ids[1], 100, "seed"), "sA-0", mode="mor",
+        key_cols=("id",),
+    )
+
+    ver = {}
+
+    def competing_compact():
+        ver["compact"] = tb.compact()  # folds the seed delta → v2
+
+    st = ta.merge(
+        _batch(spark, ids[0][:3] + ids[1][:3], 200, "b"), "sB-0",
+        mode="mor", key_cols=("id",), pre_commit_check=competing_compact,
+    )
+    assert ver["compact"] == 2
+    assert st.version == 3 and st.replayed is False
+    rows = {r["id"]: r["v"] for r in ta.read().collect()}
+    assert all(rows[i] == f"b-{i}" for i in ids[0][:3] + ids[1][:3])
+    assert all(rows[i] == f"seed-{i}" for i in ids[0][3:] + ids[1][3:])
+    # a second compaction folds the rebased delta too — state unchanged
+    assert ta.compact() == 4
+    assert {r["id"]: r["v"] for r in ta.read().collect()} == rows
+
+
+def test_cow_merge_stays_loud_under_concurrent_compaction(spark, tmp_path):
+    """A cow merge REWRITES its touched buckets from the snapshot it
+    read; a compaction that rewrote those same buckets invalidates the
+    rewrite, so the conflict must stay loud — same rule as an
+    overlapping cow writer."""
+    ta = _fresh_table(spark, tmp_path, "t_compact_cow")
+    tb = LakeTable(spark, ta.root)
+    ids = _ids_by_bucket(spark)
+    ta.merge(
+        _batch(spark, ids[0] + ids[1], 100, "seed"), "sA-0", mode="mor",
+        key_cols=("id",),
+    )
+
+    def competing_compact():
+        tb.compact()
+
+    with pytest.raises(CommitConflictError, match="concurrent writer"):
+        ta.merge(
+            _batch(spark, ids[0][:3], 200, "b"), "sB-0", mode="cow",
+            key_cols=("id",), pre_commit_check=competing_compact,
+        )
+    assert ta.is_committed("sB-0") is None
+    # the compaction's state is intact and the table keeps working
+    rows = {r["id"]: r["v"] for r in ta.read().collect()}
+    assert all(rows[i] == f"seed-{i}" for i in ids[0] + ids[1])
+    st = ta.merge(
+        _batch(spark, ids[0][:3], 200, "b"), "sB-0", mode="cow",
+        key_cols=("id",),
+    )
+    assert st.version == 3
+
+
 def test_two_threads_concurrent_mor_fanin(spark, tmp_path):
     """True concurrency, no deterministic interleave: two threads with
     separate table handles each merge 4 mor batches of their own stream
