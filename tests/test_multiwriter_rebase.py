@@ -299,6 +299,69 @@ def test_two_threads_concurrent_mor_fanin(spark, tmp_path):
             assert rows[k] == f"{s}-{k}"
 
 
+def test_two_writers_plus_compactor_concurrent(spark, tmp_path):
+    """The full production shape: two ingest streams AND a maintenance
+    compaction cron hitting one table concurrently. Merges must rebase
+    over merges and compactions alike, the compactor must retry over
+    ingest commits, and the final state must be the per-key LWW union —
+    no lost batch, no lost compaction side effects."""
+    import threading
+
+    ta = _fresh_table(spark, tmp_path, "t_cron")
+    ids = _ids_by_bucket(spark, per_bucket=20)
+    all_ids = ids[0] + ids[1]
+    streams = {"sA": all_ids[0::2], "sB": all_ids[1::2]}
+    errs: list[Exception] = []
+    done = threading.Event()
+
+    def writer(stream: str, keys: list[str]) -> None:
+        t = LakeTable(spark, ta.root)
+        try:
+            for n in range(3):
+                chunk = keys[n * 4 : (n + 1) * 4]
+                t.merge(
+                    _batch(spark, chunk, 1000 * n, stream),
+                    f"{stream}-{n}", mode="mor", key_cols=("id",),
+                    compact_after_deltas=10_000,
+                )
+        except Exception as e:  # pragma: no cover - failure path
+            errs.append(e)
+
+    def compactor() -> None:
+        t = LakeTable(spark, ta.root)
+        try:
+            while not done.is_set():
+                # generous retries: under 2-writer contention the
+                # default budget of 2 can legitimately run out
+                t.compact(retries=25)
+        except Exception as e:  # pragma: no cover - failure path
+            errs.append(e)
+
+    threads = [
+        threading.Thread(target=writer, args=(s, k))
+        for s, k in streams.items()
+    ]
+    cron = threading.Thread(target=compactor)
+    for th in threads:
+        th.start()
+    cron.start()
+    for th in threads:
+        th.join()
+    done.set()
+    cron.join()
+    assert errs == []
+    for s in streams:
+        for n in range(3):
+            assert ta.is_committed(f"{s}-{n}") is not None
+    rows = {r["id"]: r["v"] for r in ta.read().collect()}
+    for s, keys in streams.items():
+        for k in keys[:12]:
+            assert rows[k] == f"{s}-{k}"
+    # a final quiesced compaction folds whatever remains; state fixed
+    ta.compact()
+    assert {r["id"]: r["v"] for r in ta.read().collect()} == rows
+
+
 def test_duplicate_batch_key_resolves_as_replay(spark, tmp_path):
     """A crashed-and-restarted driver re-merging the batch another
     instance already committed must see exactly-once replay, not a
