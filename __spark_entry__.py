@@ -413,6 +413,53 @@ FROM feed
 """
 
 
+def q_transform_jq_engine(spark, sf_dir):
+    """The jq transform engine (T-engines): ``pkg/transform/models.go:30,59``
+    and ``pkg/config/validation.go:246`` declare ``engine: "jq"`` but the
+    reference never links an interpreter. ``functions/jq.py`` compiles a
+    jq-subset program ONCE, driver-side, into native Column expressions —
+    select() becomes a WHERE, the final object the projection; execution
+    is whole-stage-codegen JVM work (plan pinned Python-free). This
+    program exercises pipes, select, if/elif/else, float division +
+    floor, split/index (incl. negative), tonumber, interpolation,
+    ascii_downcase, gsub, startswith, and/or."""
+    from replicator_spark.functions.jq import jq_transform
+
+    orders = _load(spark, sf_dir, "orders")
+    program = r"""
+    select(.o_totalprice > 100000)
+    | {o_orderkey,
+       cust: .o_custkey,
+       status: (if .o_orderstatus == "F" then "final"
+                elif .o_orderstatus == "O" then "open"
+                else "other" end),
+       bucket: ((.o_totalprice / 500) | floor),
+       prio_code: (.o_orderpriority | split("-") | .[0] | tonumber),
+       prio_name: (.o_orderpriority | split("-") | .[-1]
+                   | ascii_downcase | gsub(" "; "_")),
+       tag: "ord-\(.o_orderkey)",
+       urgent: ((.o_orderpriority | startswith("1"))
+                or (.o_orderpriority | startswith("2")))}
+    """
+    return jq_transform(orders, program)
+
+
+SQL_transform_jq_engine = """
+SELECT o_orderkey,
+       o_custkey AS cust,
+       CASE WHEN o_orderstatus = 'F' THEN 'final'
+            WHEN o_orderstatus = 'O' THEN 'open'
+            ELSE 'other' END AS status,
+       CAST(FLOOR(o_totalprice / 500) AS BIGINT) AS bucket,
+       CAST(string_split(o_orderpriority, '-')[1] AS DOUBLE) AS prio_code,
+       replace(lower(string_split(o_orderpriority, '-')[-1]), ' ', '_') AS prio_name,
+       'ord-' || CAST(o_orderkey AS VARCHAR) AS tag,
+       (starts_with(o_orderpriority, '1') OR starts_with(o_orderpriority, '2')) AS urgent
+FROM orders
+WHERE o_totalprice > 100000
+"""
+
+
 def q_extjson_decode(spark, sf_dir):
     """Mongo Extended-JSON scalar decode (S4, ``mongo.go:140-220``):
     wrap feed values as $oid/$numberLong/$numberDouble, decode through
@@ -2880,6 +2927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metrics_rollup": q_metrics_rollup,
         "decimal_generated_column": q_decimal_generated_column,
         "transform_engine_chain": q_transform_engine_chain,
+        "transform_jq_engine": q_transform_jq_engine,
         "extjson_decode": q_extjson_decode,
         "filter_regex_in": q_filter_regex_in,
         "source_mysql_normalize": q_source_mysql_normalize,
@@ -2954,6 +3002,7 @@ def oracle_sql() -> dict[str, str]:
         "metrics_rollup": SQL_metrics_rollup,
         "decimal_generated_column": SQL_decimal_generated_column,
         "transform_engine_chain": SQL_transform_engine_chain,
+        "transform_jq_engine": SQL_transform_jq_engine,
         "extjson_decode": SQL_extjson_decode,
         "filter_regex_in": SQL_filter_regex_in,
         "source_mysql_normalize": SQL_source_mysql_normalize,

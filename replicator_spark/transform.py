@@ -17,7 +17,11 @@ computed-field enrichment of ``examples/configs/
 multi-source-aggregation.yaml:97-106``):
 
 shift, default, set, concat, extract, delete, pass, timestamp, uuid,
-computed (year/month/tier via when-chains supplied as Column).
+computed (year/month/tier via when-chains supplied as Column), and
+``jq`` — the engine type ``models.go:30,59`` / ``validation.go:246``
+declare but never execute, here compiled to Column expressions by
+``functions.jq`` (the program's final object is the new payload, same
+contract as kazaam shift; see that module for the supported subset).
 
 Conditions: exists / not_exists / eq / ne / gt / lt / gte / lte /
 contains / in / nin / regex over dot-paths (``engine.go:411-508``,
@@ -110,10 +114,31 @@ def compile_condition(c: Condition) -> Column:
 # rewriting; nothing touches the cluster until the final projection.
 
 
-def _apply_action(cols: dict[str, Column], a: Action) -> dict[str, Column]:
+def _apply_action(
+    cols: dict[str, Column], a: Action, typer=None
+) -> dict[str, Column]:
     t, s = a.type, a.spec
     if t == "pass":
         return cols
+    if t == "jq":
+        # jq engine (models.go:30,59 declares it; validation.go:246 accepts
+        # it; the reference never links an interpreter). The program's
+        # final object is the new payload — same contract as kazaam shift.
+        from .functions.jq import compile_program
+
+        if typer is None:
+            raise ValueError(
+                "jq action needs the engine's schema context; use "
+                "TransformEngine.apply or functions.jq.jq_transform directly"
+            )
+        schema = typer(cols)
+        compiled = compile_program(s["query"], schema, cols)
+        if compiled.where is not None:
+            raise ValueError(
+                "jq action: select() filters rows — express that as rule "
+                "conditions (or a validate predicate), not inside an action"
+            )
+        return dict(cols) if compiled.columns is None else dict(compiled.columns)
     if t == "shift":
         # kazaam shift: output doc = exactly the spec's projection
         # ({"output": "input"} — pkg/transform/kazaam_test.go:10-48)
@@ -208,9 +233,18 @@ class TransformEngine:
         for a in r.actions:
             if a.type not in (
                 "pass", "shift", "default", "set", "concat",
-                "extract", "delete", "timestamp", "uuid", "computed",
+                "extract", "delete", "timestamp", "uuid", "computed", "jq",
             ):
                 raise ValueError(f"rule {r.name}: unknown action {a.type}")
+            if a.type == "jq":
+                # fail-fast at construction: syntax errors surface here,
+                # type errors at apply() (schema-dependent) — both before
+                # any executor work
+                from .functions.jq import parse as _jq_parse
+
+                if "query" not in a.spec:
+                    raise ValueError(f"rule {r.name}: jq action needs spec['query']")
+                _jq_parse(a.spec["query"])
         if r.error_policy not in ("fail_fast", "skip", "dead_letter", "continue"):
             raise ValueError(f"rule {r.name}: unknown error policy {r.error_policy}")
 
@@ -227,8 +261,13 @@ class TransformEngine:
             )
             orig = {c: F.col(c) for c in payload}
             new = dict(orig)
+            # jq actions need types: resolve the CURRENT payload exprs'
+            # schema against df — driver-side analysis only, no job
+            typer = lambda cs: df.select(  # noqa: E731
+                *[v.alias(k) for k, v in cs.items()]
+            ).schema
             for a in r.actions:
-                new = _apply_action(new, a)
+                new = _apply_action(new, a, typer)
             out_cols = list(dict.fromkeys([*orig, *new]))
             proj = [F.col(c) for c in self.protected]
             for c in out_cols:

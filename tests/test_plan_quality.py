@@ -68,7 +68,7 @@ def test_no_python_eval_in_cdc_queries(spark):
         "cdc_final_state", "cdc_lww_latest", "cdc_op_stats",
         "transform_shift_rename", "lookup_join_enrich", "knn_bruteforce",
         "text_quality_ops", "lang_id",
-        "transform_engine_chain", "filter_regex_in",
+        "transform_engine_chain", "transform_jq_engine", "filter_regex_in",
         "decimal_generated_column", "source_cosmos_normalize",
         "boilerplate_lines", "dataset_split", "pii_redaction",
         "dedup_clusters", "decontaminate", "repetition_filter",
