@@ -800,6 +800,67 @@ WHERE rn = 1 AND seq > cut.floor_seq
 """
 
 
+def q_cdc_point_lookup(spark, sf_dir):
+    """Point read by primary key (LakeTable.lookup): the reference
+    applies per-key upserts against PK-indexed stores (MySQL/Mongo point
+    ops); the lake-table analogue of indexed access is hash-bucket
+    routing — ``bucket_of`` recomputes ``pmod(xxhash64(repo), n)``
+    driver-side in pure Python (pinned bit-equal to ``F.xxhash64``), so
+    the scan touches exactly ONE bucket's files (base + unresolved mor
+    deltas) before the LWW resolve. Replays the feed mor with
+    compaction disabled, then looks up three repos landing in distinct
+    buckets. Oracle: full-feed LWW winners for those repos."""
+    from pyspark.sql import types as T
+
+    from replicator_spark.laketable import LakeTable
+    from replicator_spark.pipeline import replay_feed
+
+    tmp = _scratch("point_lookup")
+    feed_dir, root = f"{tmp}/feed", f"{tmp}/table"
+    ev = _events_change_feed(spark, sf_dir)
+    max_seq = ev.agg(F.max("seq")).first()[0]
+    width = max_seq // 4 + 1
+    ev.withColumn("batch_id", (F.col("seq") / width).cast("int")).write.partitionBy(
+        "batch_id"
+    ).parquet(feed_dir)
+    table = LakeTable(spark, root)
+    table.create(
+        T.StructType(
+            [
+                T.StructField("repo", T.StringType()),
+                T.StructField("path", T.StringType()),
+                T.StructField("commit", T.StringType()),
+                T.StructField("lang", T.StringType()),
+                T.StructField("content", T.StringType()),
+            ]
+        ),
+        num_buckets=8,
+    )
+    schema = T.StructType(
+        [T.StructField("lang", T.StringType()), T.StructField("content", T.StringType())]
+    )
+    replay_feed(spark, feed_dir, table, payload_schema=schema, mode="mor",
+                compact_after_deltas=100, write_metrics=False)
+    out = None
+    for repo in ("repo-1", "repo-4", "repo-7"):
+        d = table.lookup(repo)
+        out = d if out is None else out.unionByName(d)
+    return out.select(
+        "repo", "path", "commit", "lang",
+        F.sha2("content", 256).alias("content_sha"),
+    )
+
+
+SQL_cdc_point_lookup = f"""
+WITH {_FEED_CTE}, {_LWW_CTE}
+SELECT repo, path, "commit", substr("commit", 1, 2) AS lang,
+       sha256(props) AS content_sha
+FROM latest
+WHERE rn = 1 AND op <> 'delete'
+  AND repo IN ('repo-1', 'repo-4', 'repo-7')
+"""
+
+
 def q_cdc_op_stats_streaming(spark, sf_dir):
     """O4's Structured Streaming form: tumbling 1-hour event-time
     windows × op with a 10-minute watermark, run as a real streaming
@@ -2943,6 +3004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_partial_update_merge": q_cdc_partial_update_merge,
         "cdc_op_stats_streaming": q_cdc_op_stats_streaming,
         "cdc_incremental_read": q_cdc_incremental_read,
+        "cdc_point_lookup": q_cdc_point_lookup,
         "dedup_exact_documents": q_dedup_exact_documents,
         "text_token_count": q_text_token_count,
         "text_quality": q_text_quality,
@@ -3018,6 +3080,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_op_stats_streaming": SQL_cdc_op_stats_streaming,
         "repo_activity_stateful": SQL_repo_activity_stateful,
         "cdc_incremental_read": SQL_cdc_incremental_read,
+        "cdc_point_lookup": SQL_cdc_point_lookup,
         "dedup_exact_documents": SQL_dedup_exact_documents,
         "text_token_count": SQL_text_token_count,
         "text_quality": SQL_text_quality,

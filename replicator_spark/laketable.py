@@ -332,6 +332,42 @@ class LakeTable:
             df = df.drop(*ENGINE_COLS)
         return df
 
+    def bucket_of(self, key: str, snap: cl.Snapshot | None = None) -> int:
+        """Driver-side bucket id for a first-key value: the same
+        ``pmod(xxhash64(utf8), num_buckets)`` the write path computes on
+        executors (``bucket_expr``), reproduced in pure Python (pinned
+        bit-equal to ``F.xxhash64`` in tests/test_hashing.py) — no Spark
+        job per lookup."""
+        from .functions.hashing import xxhash64_py
+
+        snap = snap if snap is not None else self._snap()
+        # Python's % is mathematical mod — identical to Spark's pmod on
+        # a signed xxhash64
+        return xxhash64_py(key.encode("utf-8")) % snap.num_buckets
+
+    def lookup(
+        self,
+        key: str,
+        path: str | None = None,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Point read by primary key prefix: O(1/num_buckets) of the
+        table's files. The reference applies per-key upserts against
+        PK-indexed stores (MySQL/Mongo point ops); the lake-table
+        analogue of that indexed access is hash-bucket pruning — only
+        the key's bucket is scanned (base + mor deltas), then the LWW
+        resolve runs over that bucket alone. ``path`` optionally narrows
+        to the second key column."""
+        snap = self._snap(version)
+        kc = self.key_columns(snap)
+        df = self.read(version=version, buckets=[self.bucket_of(key, snap)])
+        df = df.where(F.col(kc[0]) == key)
+        if path is not None:
+            if len(kc) < 2:
+                raise ValueError("lookup(path=...) needs a 2+-column key")
+            df = df.where(F.col(kc[1]) == path)
+        return df
+
     def read_changes(
         self,
         since_version: int | None = None,
