@@ -231,6 +231,31 @@ def test_jq_action_rejects_select(people):
         eng.apply(people)
 
 
+def test_jq_rule_through_job_config(people):
+    """Config-driven jq: a transform_rules entry with a jq action builds
+    through cli._build_engine exactly like kazaam rules — the
+    reference's `engine: "jq"` config shape, executable."""
+    from replicator_spark.cli import JobConfig, _build_engine
+
+    cfg = JobConfig(
+        name="jqcfg", feed_dir="x", table_root="y",
+        transform_rules=[{
+            "name": "jq-from-config",
+            "actions": [{"type": "jq", "spec": {
+                "query": '{id, name, dept, salary, age, skills, home,'
+                         ' senior: (.age >= 36)}'
+            }}],
+        }],
+    )
+    eng = _build_engine(cfg)
+    out, _ = eng.apply(people.withColumns({
+        "event_id": F.lit("e"), "seq": F.lit(1), "op": F.lit("insert"),
+        "repo": F.lit("r"), "path": F.lit("p"), "commit": F.lit("c"),
+    }))
+    got = {r.id: r.senior for r in out.collect()}
+    assert got == {1: True, 2: False, 3: True, 4: False}
+
+
 # -- fail-loud out-of-scope constructs --------------------------------------
 
 
