@@ -477,11 +477,31 @@ class _Compiler:
             if s[0] == "call" and s[1] == "select":
                 if len(s[2]) != 1:
                     raise JqError("select takes exactly one argument")
-                pred = _truthy(self.compile(s[2][0], cur))
+                pred = self._compile_pred(s[2][0], cur)
                 self.where = pred if self.where is None else (self.where & pred)
                 continue
             cur = self.compile(s, cur)
         return cur
+
+    def _compile_pred(self, node, inp: _Val) -> Column:
+        """Compile a select() argument in WHERE context. jq truthiness
+        maps null→falsy; a SQL WHERE already excludes null-valued
+        predicates, so comparisons stay RAW (pushable to the parquet
+        scan — `coalesce(p, false)` would block PushedFilters) and
+        and/or trees compile operand-wise (monotone: null≡false at every
+        level filters identically). Only `not` needs the null flip
+        (jq: null|not → true; SQL: NOT null → null) — it routes through
+        the value path, which keeps the coalesce."""
+        if node[0] == "and":
+            return self._compile_pred(node[1], inp) & self._compile_pred(node[2], inp)
+        if node[0] == "or":
+            return self._compile_pred(node[1], inp) | self._compile_pred(node[2], inp)
+        v = self.compile(node, inp)
+        if v.is_obj:
+            return F.lit(True)
+        if isinstance(v.dtype, T.BooleanType):
+            return v.col  # null excluded by WHERE ≡ jq falsy-null
+        return v.col.isNotNull()
 
     def _c_pipe(self, node, inp):
         return self._pipe_stages(node, inp)

@@ -104,6 +104,22 @@ def test_select_stage_compiles_to_where(people):
     assert f.columns == people.columns and f.count() == 2
 
 
+def test_select_null_semantics_match_jq(people):
+    # row 4 has salary=null: a null comparison is falsy (excluded), and
+    # its NEGATION is truthy (included) — jq's null-falsy under `not`,
+    # which SQL three-valued logic alone would get wrong
+    assert [x["id"] for x in rows(
+        jq_transform(people, "select(.salary > 50000) | {id}"))] == [1, 3]
+    assert [x["id"] for x in rows(
+        jq_transform(people, "select((.salary > 50000) | not) | {id}"))] == [2, 4]
+    # non-boolean select: truthy = non-null
+    assert [x["id"] for x in rows(
+        jq_transform(people, "select(.name) | {id}"))] == [1, 2, 3]
+    # and/or trees stay pushable-raw but filter identically
+    assert [x["id"] for x in rows(jq_transform(
+        people, 'select((.salary > 50000) or (.dept == "ops")) | {id}'))] == [1, 3, 4]
+
+
 def test_alternative_operator(people):
     out = jq_transform(people, '{id, n: (.name // "anon"), s: (.salary // 0)}')
     r = rows(out)

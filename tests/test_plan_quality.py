@@ -30,6 +30,14 @@ def test_source_filter_pushdown(spark):
     assert "GreaterThan(value,100.0)" in plan.replace(" ", ""), plan[:2000]
 
 
+def test_jq_select_pushed_to_scan(spark):
+    """A jq select() compiles to a native predicate that must reach the
+    parquet scan — the filter is not trapped above a Python boundary."""
+    plan = _plan(entry.q_transform_jq_engine(spark, SF))
+    assert "PushedFilters: [" in plan
+    assert "GreaterThan(o_totalprice,100000.0)" in plan.replace(" ", ""), plan[:2000]
+
+
 def test_projection_pruning_reaches_scan(spark):
     plan = _plan(entry.q_transform_shift_rename(spark, SF))
     # only the needed columns are read
