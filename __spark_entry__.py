@@ -800,6 +800,40 @@ WHERE rn = 1 AND seq > cut.floor_seq
 """
 
 
+def q_cdc_event_filter(spark, sf_dir):
+    """The reference EventFilter struct (``pkg/models/types.go:218-236``
+    — declared, never evaluated upstream) executed end-to-end: operation
+    include list + a FieldFilter regex on a doc-JSON path + a
+    custom_filter jq boolean (documented divergence: jq, not JS), all
+    ANDed into one pushdown-friendly predicate on the RAW canonical
+    feed (filters.EventFilter)."""
+    from replicator_spark.filters import EventFilter, FieldFilter
+
+    ev = _events_change_feed(spark, sf_dir)
+    ef = EventFilter(
+        include_operations=["insert", "update"],
+        field_filters=[FieldFilter("lang", "regex", "^[0-9]")],
+        custom_filter="(.seq % 3) != 2",
+    )
+    return ef.apply(ev).select(
+        "seq", "op",
+        F.col("key.repo").alias("repo"),
+        F.col("key.path").alias("path"),
+        F.col("key.commit").alias("commit"),
+        F.get_json_object("doc", "$.lang").alias("lang"),
+    )
+
+
+SQL_cdc_event_filter = f"""
+WITH {_FEED_CTE}
+SELECT seq, op, repo, path, "commit", substr("commit", 1, 2) AS lang
+FROM feed
+WHERE op IN ('insert', 'update')
+  AND regexp_matches(substr("commit", 1, 2), '^[0-9]')
+  AND seq % 3 <> 2
+"""
+
+
 def q_cdc_point_lookup(spark, sf_dir):
     """Point read by primary key (LakeTable.lookup): the reference
     applies per-key upserts against PK-indexed stores (MySQL/Mongo point
@@ -3005,6 +3039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_op_stats_streaming": q_cdc_op_stats_streaming,
         "cdc_incremental_read": q_cdc_incremental_read,
         "cdc_point_lookup": q_cdc_point_lookup,
+        "cdc_event_filter": q_cdc_event_filter,
         "dedup_exact_documents": q_dedup_exact_documents,
         "text_token_count": q_text_token_count,
         "text_quality": q_text_quality,
@@ -3081,6 +3116,7 @@ def oracle_sql() -> dict[str, str]:
         "repo_activity_stateful": SQL_repo_activity_stateful,
         "cdc_incremental_read": SQL_cdc_incremental_read,
         "cdc_point_lookup": SQL_cdc_point_lookup,
+        "cdc_event_filter": SQL_cdc_event_filter,
         "dedup_exact_documents": SQL_dedup_exact_documents,
         "text_token_count": SQL_text_token_count,
         "text_quality": SQL_text_quality,

@@ -35,6 +35,12 @@ class JobConfig:
     compact_after_deltas: int = 8
     max_files_per_trigger: int | None = None
     transform_rules: list[dict] = field(default_factory=list)
+    # reference EventFilter (pkg/models/types.go:218-227): operation /
+    # database / collection include-exclude, field_filters, and
+    # custom_filter — a jq boolean expression here (documented
+    # divergence; the reference's "JavaScript expression" is never
+    # evaluated upstream). See filters.EventFilter.
+    event_filter: dict | None = None
     enabled: bool = True
     # re-read the config file between micro-batches and apply changes on
     # the fly (the reference's viper WatchConfig hot-reload,
@@ -87,6 +93,16 @@ class JobConfig:
 def load_config(path: str) -> JobConfig:
     with open(path) as f:
         return JobConfig.from_dict(json.load(f))
+
+
+def _build_filter(cfg: JobConfig):
+    if not cfg.event_filter:
+        return None
+    from .filters import EventFilter
+
+    ef = EventFilter.from_dict(cfg.event_filter)
+    ef.predicate()  # fail-fast: bad operators / jq syntax surface at build
+    return ef
 
 
 def _build_engine(cfg: JobConfig):
@@ -158,6 +174,7 @@ def run_streaming_watched(spark, cfg: JobConfig, table, config_path: str | None)
             partial_updates=cfg.partial_updates,
             tombstone_retention=cfg.tombstone_retention,
             transform_engine=engine,
+            event_filter=_build_filter(cfg),
             qos=QoS.from_dict(cfg.qos),
         )
         watching = cfg.watch_config and config_path
@@ -280,6 +297,7 @@ def _cmd_run_job(cfg: JobConfig, config_path: str | None) -> int:
             partial_updates=cfg.partial_updates,
             tombstone_retention=cfg.tombstone_retention,
             transform_engine=engine,
+            event_filter=_build_filter(cfg),
             qos=QoS.from_dict(cfg.qos),
         )
     n = table.read().count()

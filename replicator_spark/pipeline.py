@@ -324,6 +324,7 @@ def apply_batch(
     *,
     mode: str = "cow",
     transform_engine=None,
+    event_filter=None,
     files_per_bucket: int | str | None = "auto",
     compact_after_deltas: int = 8,
     write_metrics: bool = True,
@@ -362,6 +363,10 @@ def apply_batch(
     extra passes over the batch.
     """
     t0 = time.time()
+    if event_filter is not None:
+        # on the RAW feed, before normalize: the scalar clauses (op /
+        # db / tbl / doc-path / custom jq) push down into the feed scan
+        raw_batch = event_filter.apply(raw_batch)
     if files_per_bucket == "auto":
         files_per_bucket = auto_files_per_bucket(raw_batch)
     detect = False
@@ -523,6 +528,7 @@ def replay_feed(
     partial_updates: bool = False,
     tombstone_retention: int | None = None,
     transform_engine=None,
+    event_filter=None,
     ledger_keep: int | None = 1024,
     qos=None,
 ) -> list[BatchResult]:
@@ -579,6 +585,7 @@ def replay_feed(
                 partial_updates=partial_updates,
                 tombstone_retention=tombstone_retention,
                 transform_engine=transform_engine,
+                event_filter=event_filter,
                 ledger_keep=ledger_keep,
             )
 

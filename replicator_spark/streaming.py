@@ -95,6 +95,7 @@ def run_stream(
     partial_updates: bool = False,
     tombstone_retention: int | None = None,
     transform_engine=None,
+    event_filter=None,
     ledger_keep: int | None = 1024,
     qos=None,
     processing_time: str = "5 seconds",
@@ -148,6 +149,7 @@ def run_stream(
                 partial_updates=partial_updates,
                 tombstone_retention=tombstone_retention,
                 transform_engine=transform_engine,
+                event_filter=event_filter,
                 ledger_keep=ledger_keep,
             )
 

@@ -78,8 +78,13 @@ def _path(col_name: str) -> Column:
 
 
 def compile_condition(c: Condition) -> Column:
-    f = _path(c.field)
-    op = c.operator
+    return compile_condition_on(_path(c.field), c.operator, c.value)
+
+
+def compile_condition_on(f: Column, op: str, value) -> Column:
+    """Operator core shared with filters.EventFilter (same taxonomy —
+    ``pkg/models/types.go:231-236`` FieldFilter reuses these ops)."""
+    c = Condition("", op, value)
     if op == "exists":
         return f.isNotNull()
     if op == "not_exists":

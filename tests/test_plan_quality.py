@@ -77,6 +77,7 @@ def test_no_python_eval_in_cdc_queries(spark):
         "transform_shift_rename", "lookup_join_enrich", "knn_bruteforce",
         "text_quality_ops", "lang_id",
         "transform_engine_chain", "transform_jq_engine", "filter_regex_in",
+        "cdc_event_filter", "cdc_point_lookup",
         "decimal_generated_column", "source_cosmos_normalize",
         "boilerplate_lines", "dataset_split", "pii_redaction",
         "dedup_clusters", "decontaminate", "repetition_filter",
