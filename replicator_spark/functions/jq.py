@@ -37,6 +37,11 @@ fail-loud, never silently wrong):
   ``gsub(re; repl)``, ``split(s)``, ``join(s)``, ``has(k)`` — argument
   separators are ``;`` as in jq, and string-typed builtin args must be
   literals (they parameterize the compiled expression)
+- array builtins via Spark higher-order functions (per-element lambdas
+  compile once and run JVM-side): ``map(f)``, ``any`` / ``any(f)``,
+  ``all`` / ``all(f)``, ``add`` (numeric sum; [] sums to 0.0, where jq
+  yields null), ``min``, ``max``, ``sort``, ``unique``, ``reverse``,
+  ``first``, ``last``
 
 Deliberately out of scope (all raise): stream iteration ``.[]`` and
 ``,`` streams (they change cardinality — that is ``explode``, not a
@@ -797,6 +802,108 @@ class _Compiler:
         if v.dtype is not None and not isinstance(v.dtype, T.ArrayType):
             raise JqError("join: input must be an array")
         return _Val(F.array_join(v.col, sep), _STR)
+
+    # -- array builtins (Spark higher-order functions — still JVM-side) ------
+
+    def _array_in(self, inp: _Val, what: str) -> _Val:
+        v = _scalar(inp, what)
+        if v.dtype is not None and not isinstance(v.dtype, T.ArrayType):
+            raise JqError(f"{what}: input must be an array, got "
+                          f"{v.dtype.simpleString()}")
+        return v
+
+    def _fn_map(self, args, inp):
+        """jq ``map(f)`` → ``F.transform``: f runs per element, compiled
+        once against the element type — no iteration leaves the JVM."""
+        if len(args) != 1:
+            raise JqError("map takes exactly one argument")
+        v = self._array_in(inp, "map")
+        el = v.dtype.elementType if isinstance(v.dtype, T.ArrayType) else None
+        body = args[0]
+        out_dtype: list = [None]
+
+        def _f(x: Column) -> Column:
+            r = _scalar(self.compile(body, _Val(x, el)), "map body")
+            out_dtype[0] = r.dtype
+            return r.col
+
+        col = F.transform(v.col, _f)
+        return _Val(col, T.ArrayType(out_dtype[0]) if out_dtype[0] else None)
+
+    def _fn_add(self, args, inp):
+        """jq ``add`` on a numeric array (sum; null for empty-as-jq? jq
+        yields null on []; aggregate yields the 0 start — documented)."""
+        self._no_args(args, "add")
+        v = self._array_in(inp, "add")
+        return _Val(
+            F.aggregate(
+                v.col, F.lit(0.0), lambda acc, x: acc + x.cast("double")
+            ),
+            _DOUBLE,
+        )
+
+    def _fn_min(self, args, inp):
+        self._no_args(args, "min")
+        v = self._array_in(inp, "min")
+        el = v.dtype.elementType if isinstance(v.dtype, T.ArrayType) else None
+        return _Val(F.array_min(v.col), el)
+
+    def _fn_max(self, args, inp):
+        self._no_args(args, "max")
+        v = self._array_in(inp, "max")
+        el = v.dtype.elementType if isinstance(v.dtype, T.ArrayType) else None
+        return _Val(F.array_max(v.col), el)
+
+    def _fn_sort(self, args, inp):
+        self._no_args(args, "sort")
+        v = self._array_in(inp, "sort")
+        return _Val(F.sort_array(v.col), v.dtype)
+
+    def _fn_reverse(self, args, inp):
+        self._no_args(args, "reverse")
+        v = self._array_in(inp, "reverse")
+        return _Val(F.reverse(v.col), v.dtype)
+
+    def _fn_unique(self, args, inp):
+        """jq unique = distinct + sorted."""
+        self._no_args(args, "unique")
+        v = self._array_in(inp, "unique")
+        return _Val(F.sort_array(F.array_distinct(v.col)), v.dtype)
+
+    def _fn_first(self, args, inp):
+        self._no_args(args, "first")
+        v = self._array_in(inp, "first")
+        el = v.dtype.elementType if isinstance(v.dtype, T.ArrayType) else None
+        return _Val(F.try_element_at(v.col, F.lit(1)), el)
+
+    def _fn_last(self, args, inp):
+        self._no_args(args, "last")
+        v = self._array_in(inp, "last")
+        el = v.dtype.elementType if isinstance(v.dtype, T.ArrayType) else None
+        return _Val(F.try_element_at(v.col, F.lit(-1)), el)
+
+    def _fn_any(self, args, inp):
+        """``any`` / ``any(f)`` → F.exists (jq truthiness per element)."""
+        v = self._array_in(inp, "any")
+        el = v.dtype.elementType if isinstance(v.dtype, T.ArrayType) else None
+        if len(args) > 1:
+            raise JqError("any takes at most one argument")
+        body = args[0] if args else ("identity",)
+        return _Val(
+            F.exists(v.col, lambda x: _truthy(self.compile(body, _Val(x, el)))),
+            _BOOL,
+        )
+
+    def _fn_all(self, args, inp):
+        v = self._array_in(inp, "all")
+        el = v.dtype.elementType if isinstance(v.dtype, T.ArrayType) else None
+        if len(args) > 1:
+            raise JqError("all takes at most one argument")
+        body = args[0] if args else ("identity",)
+        return _Val(
+            F.forall(v.col, lambda x: _truthy(self.compile(body, _Val(x, el)))),
+            _BOOL,
+        )
 
     def _fn_has(self, args, inp):
         key = _lit_str_arg(args, 0, "has")

@@ -194,6 +194,35 @@ def test_tonumber_has_array_nested_obj(people):
     assert r["loc"] == {"c": "London", "k": "UK"}
 
 
+def test_array_builtins(people):
+    out = jq_transform(
+        people,
+        '{id, up: (.skills | map(ascii_upcase)), lens: (.skills | map(length) | add), '
+        ' mn: ([3, 1, 2] | min), mx: ([3, 1, 2] | max), srt: ([3, 1, 2] | sort), '
+        ' uniq: ([2, 1, 2] | unique), rev: (.skills | reverse), '
+        ' hd: (.skills | first), tl: (.skills | last), '
+        ' any_c: (.skills | any(. == "c")), all_len2: (.skills | all(length <= 5))}',
+    )
+    r = rows(out)[0]
+    assert r["up"] == ["PY", "C"] and r["lens"] == 3.0
+    assert (r["mn"], r["mx"], r["srt"], r["uniq"]) == (1, 3, [1, 2, 3], [1, 2])
+    assert r["rev"] == ["c", "py"] and r["hd"] == "py" and r["tl"] == "c"
+    assert r["any_c"] is True and r["all_len2"] is True
+    r3 = rows(out)[2]  # empty skills array
+    assert r3["lens"] == 0.0 and r3["hd"] is None and r3["any_c"] is False
+    # map body is type-checked against the ELEMENT type
+    with pytest.raises(JqError, match="cannot add string"):
+        compile_program('{x: (.skills | map(. + 1))}', people.schema)
+    with pytest.raises(JqError, match="must be an array"):
+        compile_program('{x: (.name | map(length))}', people.schema)
+
+
+def test_array_builtins_stay_jvm(people):
+    out = jq_transform(people, '{id, n: (.skills | map(length) | add)}')
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 # -- engine integration ------------------------------------------------------
 
 
