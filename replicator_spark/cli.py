@@ -345,6 +345,26 @@ def cmd_lifecycle(
     return 0
 
 
+def cmd_lookup(
+    table_root: str,
+    key: str,
+    path: str | None,
+    version: int | None,
+    limit: int,
+) -> int:
+    """Point read by primary key (LakeTable.lookup): scans ONE bucket
+    (driver-side xxhash64 routing), prints one JSON line per row."""
+    from .laketable import LakeTable
+    from .session import get_spark
+
+    spark = get_spark("lookup")
+    table = LakeTable(spark, table_root)
+    df = table.lookup(key, path=path, version=version)
+    for r in df.limit(limit).collect():
+        print(json.dumps(r.asDict(recursive=True), default=str))
+    return 0
+
+
 def cmd_compact(table_root: str, expire_below: int | None, retention: int | None) -> int:
     """Maintenance compaction out of the hot apply path: fold mor delta
     chains into base files; optionally expire tombstones below an
@@ -506,6 +526,12 @@ def main(argv: list[str] | None = None) -> int:
             lp.add_argument("--feed-dir", default=None)
             lp.add_argument("--checkpoint-dir", default=None)
             lp.add_argument("--freshness-s", type=float, default=600.0)
+    kp = sub.add_parser("lookup", help="point read by primary key (one-bucket scan)")
+    kp.add_argument("--table-root", required=True)
+    kp.add_argument("--key", required=True, help="first key column value (repo)")
+    kp.add_argument("--path", default=None, help="second key column value")
+    kp.add_argument("--version", type=int, default=None, help="time travel")
+    kp.add_argument("--limit", type=int, default=1000)
     cp = sub.add_parser("compact")
     cp.add_argument("--table-root", required=True)
     cp.add_argument("--expire-below", type=int, default=None)
@@ -552,6 +578,10 @@ def main(argv: list[str] | None = None) -> int:
             feed_dir=getattr(args, "feed_dir", None),
             checkpoint_dir=getattr(args, "checkpoint_dir", None),
             freshness_s=getattr(args, "freshness_s", 600.0),
+        )
+    if args.cmd == "lookup":
+        return cmd_lookup(
+            args.table_root, args.key, args.path, args.version, args.limit
         )
     if args.cmd == "compact":
         return cmd_compact(args.table_root, args.expire_below, args.tombstone_retention)

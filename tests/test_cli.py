@@ -592,3 +592,34 @@ def test_validate_serve_port_and_auth_fields(tmp_path):
         assert any("serve_port" in e for e in errs), bad
     cfg = JobConfig.from_dict(dict(base, serve_auth_tokens=["tok"]))
     assert cfg.serve_auth_tokens == ["tok"] and cfg.serve_host == "127.0.0.1"
+
+
+def test_lookup_subcommand(spark, tmp_path, capsys):
+    import json as _json
+
+    from replicator_spark.cli import main as cli_main
+    from replicator_spark.feedgen import gen_changes, write_feed
+    from replicator_spark.laketable import LakeTable
+    from replicator_spark.model import REPOS_SCHEMA
+    from replicator_spark.pipeline import replay_feed
+
+    feed = str(tmp_path / "feed")
+    write_feed(gen_changes(spark, 800, n_repos=4, n_batches=2), feed)
+    t = LakeTable(spark, str(tmp_path / "t"))
+    t.create(REPOS_SCHEMA, num_buckets=4)
+    replay_feed(spark, feed, t, mode="mor", write_metrics=False, compact_after_deltas=99)
+    row = t.read().limit(1).collect()[0]
+
+    assert cli_main(["lookup", "--table-root", t.root, "--key", row.repo]) == 0
+    lines = [_json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    assert lines and all(x["repo"] == row.repo for x in lines)
+    want = t.read().where(f"repo = '{row.repo}'").count()
+    assert len(lines) == want
+
+    # path narrowing + missing key
+    assert cli_main(["lookup", "--table-root", t.root, "--key", row.repo,
+                     "--path", row.path]) == 0
+    lines = [_json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    assert lines and all(x["path"] == row.path for x in lines)
+    assert cli_main(["lookup", "--table-root", t.root, "--key", "nope"]) == 0
+    assert capsys.readouterr().out.strip() == ""
