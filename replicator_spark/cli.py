@@ -87,6 +87,22 @@ class JobConfig:
             or not 0 <= self.serve_port <= 65535
         ):
             errs.append(f"serve_port must be an int in [0, 65535], got {self.serve_port!r}")
+        # config-level rule/filter validation (validation.go:238-260
+        # validates transform types at config load): both constructors
+        # are Spark-free — Columns compile only at apply time
+        if self.transform_rules:
+            try:
+                _build_engine(self)
+            except Exception as e:  # noqa: BLE001 — any build error is a config error
+                errs.append(f"transform_rules: {e}")
+        if self.event_filter:
+            try:
+                from .filters import EventFilter
+
+                ef = EventFilter.from_dict(self.event_filter)
+                errs.extend(f"event_filter: {e}" for e in ef.validate())
+            except Exception as e:  # noqa: BLE001
+                errs.append(f"event_filter: {e}")
         return errs
 
 

@@ -80,6 +80,35 @@ class EventFilter:
             raise ValueError(f"event_filter: unknown keys {sorted(unknown)}")
         return EventFilter(field_filters=ff, **d)
 
+    _OPERATORS = ("eq", "ne", "gt", "lt", "gte", "lte",
+                  "contains", "in", "nin", "regex")
+
+    def validate(self) -> list[str]:
+        """Spark-free structural validation (for `cli validate`, which
+        runs without a session): operator whitelist + custom_filter
+        parse/shape. Column-level errors still fail fast at build."""
+        errs = []
+        for ff in self.field_filters:
+            if ff.operator not in self._OPERATORS:
+                errs.append(
+                    f"field_filters[{ff.field}]: unknown operator {ff.operator!r}"
+                )
+        if self.custom_filter:
+            from .functions.jq import JqError
+            from .functions.jq import parse as jq_parse
+
+            try:
+                ast = jq_parse(self.custom_filter.strip())
+                last = ast[1][-1] if ast[0] == "pipe" else ast
+                if last[0] == "obj":
+                    errs.append(
+                        "custom_filter must be a boolean jq expression, "
+                        "not a projection"
+                    )
+            except JqError as e:
+                errs.append(f"custom_filter: {e}")
+        return errs
+
     # -- compilation ---------------------------------------------------------
 
     def _resolve(self, name: str) -> tuple[Column, bool]:

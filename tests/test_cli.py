@@ -623,3 +623,34 @@ def test_lookup_subcommand(spark, tmp_path, capsys):
     assert lines and all(x["path"] == row.path for x in lines)
     assert cli_main(["lookup", "--table-root", t.root, "--key", "nope"]) == 0
     assert capsys.readouterr().out.strip() == ""
+
+
+def test_validate_catches_bad_rules_and_filters(tmp_path):
+    """Config-level validation (validation.go:238-260 analogue) flags
+    bad transform rules and event filters WITHOUT a SparkSession."""
+    import json as _json
+
+    from replicator_spark import cli
+
+    def _write(extra):
+        d = {"name": "j", "feed_dir": "f", "table_root": "t",
+             "streaming": False, **extra}
+        p = tmp_path / f"c{abs(hash(_json.dumps(extra, sort_keys=True)))}.json"
+        p.write_text(_json.dumps(d))
+        return str(p)
+
+    ok = _write({"transform_rules": [
+        {"name": "r", "actions": [{"type": "jq", "spec": {"query": "{op}"}}]}],
+        "event_filter": {"include_operations": ["insert"]}})
+    assert cli.main(["validate", "--config", ok]) == 0
+
+    assert cli.main(["validate", "--config", _write({"transform_rules": [
+        {"name": "r", "actions": [{"type": "lua", "spec": {}}]}]})]) == 1
+    assert cli.main(["validate", "--config", _write({"transform_rules": [
+        {"name": "r", "actions": [{"type": "jq", "spec": {"query": "{x: ("}}]}]})]) == 1
+    assert cli.main(["validate", "--config", _write({"event_filter": {
+        "field_filters": [{"field": "x", "operator": "like", "value": 1}]}})]) == 1
+    assert cli.main(["validate", "--config", _write({"event_filter": {
+        "custom_filter": "{op}"}})]) == 1
+    assert cli.main(["validate", "--config", _write({"event_filter": {
+        "bogus_key": []}})]) == 1
