@@ -52,7 +52,20 @@ def from_mysql_rows(
 
 def from_pg_tuples(df: DataFrame, rename: dict[str, str] | None = None) -> DataFrame:
     """``{col_0: text, ...}`` map → doc JSON, optionally renaming the
-    synthetic names to real ones."""
+    synthetic names to real ones.
+
+    When the input carries the decoder's ``partial`` flag
+    (``read_pgoutput_feed`` sets it for updates whose new image omitted
+    unchanged-TOAST columns), it is propagated into the canonical
+    ``meta['partial']='true'`` signal that ``pipeline.normalize``
+    reads — without this the event would be applied as a full image and
+    the LWW replace would null the stored TOAST value, the exact
+    corruption the 'u'-kind decode exists to prevent (ADVICE r04).
+    Note the engine-wide partial contract still applies: a partial
+    image cannot set a column to SQL NULL (JSON-absent ≡ null ≡
+    don't-touch), so an update that both nulls one column and skips a
+    TOASTed one keeps the old value in the nulled column.
+    """
     tuple_col = F.col("tuple")
     if rename:
         doc = F.to_json(
@@ -65,7 +78,20 @@ def from_pg_tuples(df: DataFrame, rename: dict[str, str] | None = None) -> DataF
         )
     else:
         doc = F.to_json(tuple_col)
-    return df.withColumn("doc", doc)
+    out = df.withColumn("doc", doc)
+    if "partial" in df.columns:
+        flag = F.coalesce(F.col("partial"), F.lit(False))
+        pmeta = F.create_map(F.lit("partial"), F.lit("true"))
+        if "meta" in df.columns:
+            meta = F.when(~flag, F.col("meta")).otherwise(
+                F.when(F.col("meta").isNull(), pmeta).otherwise(
+                    F.map_concat(F.col("meta"), pmeta)
+                )
+            )
+        else:
+            meta = F.when(flag, pmeta)
+        out = out.withColumn("meta", meta)
+    return out
 
 
 def from_kafka_messages(

@@ -72,6 +72,56 @@ def test_spark_feed_routes_unchanged_toast_as_partial(spark, tmp_path):
     assert "blob" not in rows[1]["tuple"]  # key absent from the map
 
 
+def test_unchanged_toast_flows_to_partial_merge(spark, tmp_path):
+    """ADVICE r04 end-to-end: an update whose new image omits an
+    unchanged-TOAST column must reach the lake as a PARTIAL merge
+    (from_pg_tuples propagates the decoder's partial flag into
+    meta['partial']='true') — the stored TOAST value survives instead
+    of being nulled by a full-image LWW replace."""
+    from pyspark.sql import functions as F
+
+    from replicator_spark.laketable import LakeTable
+    from replicator_spark.model import REPOS_SCHEMA
+    from replicator_spark.pipeline import apply_batch
+    from replicator_spark.sources.normalize import from_pg_tuples
+
+    d = str(tmp_path / "wal_toast_merge")
+    cols = ["repo", "path", "commit", "lang", "content"]
+    w = PgOutputWriter(columns=cols)
+    w.begin(xid=1)
+    w.insert(("r1", "p1", "c1", "py", "big-toast-content"))
+    # update that leaves the TOASTed content column untouched ('u')
+    w.update(
+        ("r1", "p1", "c1", "go", UNCHANGED), old=("r1", "p1", "c1", "py", None)
+    )
+    w.commit()
+    w.save(f"{d}/seg.000001")
+
+    feed = from_pg_tuples(
+        read_pgoutput_feed(spark, d), rename={c: c for c in cols}
+    )
+    assert "meta" in feed.columns
+    ev = feed.select(
+        F.concat(F.lit("e"), F.col("seq").cast("string")).alias("event_id"),
+        "seq",
+        "op",
+        F.struct(
+            F.col("tuple")["repo"].alias("repo"),
+            F.col("tuple")["path"].alias("path"),
+            F.col("tuple")["commit"].alias("commit"),
+        ).alias("key"),
+        "doc",
+        "meta",
+    )
+    t = LakeTable(spark, str(tmp_path / "t"))
+    t.create(REPOS_SCHEMA, num_buckets=2)
+    apply_batch(t, ev, "b-0", mode="mor", partial_updates=True, write_metrics=False)
+    r = t.read().first()
+    assert r["lang"] == "go"  # the sent column updated
+    # was nulled before the meta propagation fix
+    assert r["content"] == "big-toast-content"
+
+
 def test_decode_rejects_unknown_messages():
     import struct
 
