@@ -25,11 +25,18 @@ fail-loud, never silently wrong):
   false / null
 - operators: ``+`` (numeric add / string concat / array concat by
   compile-time type), ``- * %``; ``/`` is float division like jq (both
-  sides cast to double); comparisons ``== != < <= > >=``; ``and`` /
-  ``or`` (jq truthiness: false and null are falsy, everything else
-  truthy); alternative ``l // r`` (l if truthy else r)
+  sides cast to double); comparisons ``== != < <= > >=`` with jq's
+  TOTAL order on null (null == null → true, null sorts below every
+  value: ``==`` compiles to null-safe equality, orders to isNull/
+  isNotNull algebra — never SQL 3-valued null); ``and`` / ``or`` (jq
+  truthiness: false and null are falsy, everything else truthy);
+  alternative ``l // r`` (l if truthy else r)
 - ``if c then a elif c2 then b else z end`` (``else`` required)
-- ``select(f)`` as a pipe stage — compiles to a WHERE predicate
+- ``select(f)`` as a ROW-context pipe stage (top-level, or inside a
+  parenthesized group in top-level stage position) — compiles to a
+  WHERE predicate; select in VALUE context (object values, ``//``
+  operands, ``map`` bodies, interpolations) raises, since jq's
+  empty-propagation there is not expressible as one Column
 - builtins: ``length`` (string chars / array size), ``not``,
   ``tostring``, ``tonumber``, ``floor``, ``ceil``, ``round``, ``fabs``,
   ``sqrt``, ``ascii_downcase``, ``ascii_upcase``, ``ltrimstr(s)``,
@@ -469,34 +476,53 @@ class _Compiler:
             raise JqError(f"unsupported jq construct: {kind}")
         return m(node, inp)
 
-    # each stage of a top-level pipe may be select(); inner pipes too —
-    # selects bubble up as predicates ANDed into self.where
+    # select() is legal only in ROW context — a top-level pipe stage, or
+    # a pipe stage of a parenthesized group that is itself a top-level
+    # stage — where it compiles to a WHERE predicate ANDed into
+    # self.where. In VALUE context (object values, // operands, map
+    # bodies, interpolations) jq's empty-propagation has no one-Column
+    # equivalent: bubbling the predicate up to the global WHERE would
+    # silently drop whole rows (e.g. `{a: ((.x | select(.y)) // "d")}`
+    # keeps the row with a="d" in jq), and inside a higher-order lambda
+    # the predicate references the lambda variable, unresolvable in a
+    # row filter — so it raises instead.
     def run(self, ast, inp: _Val) -> _Val:
         self.where: Column | None = None
-        return self._pipe_stages(ast, inp)
+        return self._pipe_stages(ast, inp, top=True)
 
-    def _pipe_stages(self, node, inp: _Val) -> _Val:
+    def _pipe_stages(self, node, inp: _Val, top: bool = False) -> _Val:
         stages = node[1] if node[0] == "pipe" else [node]
         cur = inp
         for s in stages:
             if s[0] == "call" and s[1] == "select":
+                if not top:
+                    raise JqError(
+                        "select() inside a value expression is not "
+                        "expressible as one Column (the row-level WHERE "
+                        "it compiles to cannot apply there); move it to "
+                        "a top-level pipe stage"
+                    )
                 if len(s[2]) != 1:
                     raise JqError("select takes exactly one argument")
                 pred = self._compile_pred(s[2][0], cur)
                 self.where = pred if self.where is None else (self.where & pred)
                 continue
+            if s[0] == "pipe":
+                # parenthesized pipe group in stage position keeps row
+                # context: `(select(.a) | {id})` ≡ `select(.a) | {id}`
+                cur = self._pipe_stages(s, cur, top=top)
+                continue
             cur = self.compile(s, cur)
         return cur
 
     def _compile_pred(self, node, inp: _Val) -> Column:
-        """Compile a select() argument in WHERE context. jq truthiness
-        maps null→falsy; a SQL WHERE already excludes null-valued
-        predicates, so comparisons stay RAW (pushable to the parquet
-        scan — `coalesce(p, false)` would block PushedFilters) and
-        and/or trees compile operand-wise (monotone: null≡false at every
-        level filters identically). Only `not` needs the null flip
-        (jq: null|not → true; SQL: NOT null → null) — it routes through
-        the value path, which keeps the coalesce."""
+        """Compile a select() argument in WHERE context. Comparisons are
+        already total (never-null — see _c_cmp), so they pass through
+        pushable as-is; and/or trees compile operand-wise. Non-boolean
+        values use jq truthiness (null→falsy), which a SQL WHERE's
+        null-exclusion matches RAW (a `coalesce(p, false)` wrapper would
+        block PushedFilters). `not` routes through the value path, whose
+        coalesce gives jq's null flip (jq: null|not → true)."""
         if node[0] == "and":
             return self._compile_pred(node[1], inp) & self._compile_pred(node[2], inp)
         if node[0] == "or":
@@ -617,11 +643,35 @@ class _Compiler:
         _, op, ln, rn = node
         l = _scalar(self.compile(ln, inp), op).col
         r = _scalar(self.compile(rn, inp), op).col
-        expr = {
-            "==": lambda: l == r, "!=": lambda: l != r,
-            "<": lambda: l < r, "<=": lambda: l <= r,
-            ">": lambda: l > r, ">=": lambda: l >= r,
-        }[op]()
+        # jq comparisons are TOTAL: null is an ordinary value that sorts
+        # below everything else (null == null → true, null < 5 → true,
+        # .a != "x" with null .a → true). Raw SQL operators are 3-valued
+        # and silently diverge on null operands — dropping rows a jq
+        # select() keeps and emitting null where jq emits true/false. So
+        # == compiles to null-safe equality (<=>, pushable as
+        # EqualNullSafe) and the order comparisons to boolean algebra
+        # over isNull/isNotNull (And/Or of pushable leaves — a CASE WHEN
+        # form would block parquet pushdown). Every branch is never-null.
+        if op in ("==", "!="):
+            lit_null = ("lit", None)
+            if ln == lit_null and rn == lit_null:
+                expr = F.lit(op == "==")
+            elif rn == lit_null or ln == lit_null:
+                # literal-null comparand → the pushdown-native Is[Not]Null
+                tgt = l if rn == lit_null else r
+                expr = tgt.isNull() if op == "==" else tgt.isNotNull()
+            elif op == "==":
+                expr = l.eqNullSafe(r)
+            else:
+                expr = ~l.eqNullSafe(r)
+        elif op == "<":
+            expr = (l.isNull() & r.isNotNull()) | (r.isNotNull() & (l < r))
+        elif op == "<=":
+            expr = l.isNull() | (r.isNotNull() & (l <= r))
+        elif op == ">":
+            expr = (r.isNull() & l.isNotNull()) | (l.isNotNull() & (l > r))
+        else:  # ">="
+            expr = r.isNull() | (l.isNotNull() & (l >= r))
         return _Val(expr, _BOOL)
 
     def _c_and(self, node, inp):

@@ -120,6 +120,52 @@ def test_select_null_semantics_match_jq(people):
         people, 'select((.salary > 50000) or (.dept == "ops")) | {id}'))] == [1, 3, 4]
 
 
+def test_null_comparisons_use_jq_total_order(people):
+    """jq comparisons are total — null is an ordinary value that equals
+    null and sorts below everything. SQL 3-valued operators would emit
+    null in value context and silently drop rows in WHERE context."""
+    out = rows(
+        jq_transform(
+            people,
+            '{id, no_sal: (.salary == null), has_sal: (.salary != null),'
+            ' low: (.salary < 80000), pos: (.salary >= 0),'
+            ' not_ada: (.name != "Ada Lovelace")}',
+        )
+    )
+    assert out[3]["no_sal"] is True and out[3]["has_sal"] is False
+    assert out[0]["no_sal"] is False and out[0]["has_sal"] is True
+    # null < 80000 → true (null sorts first); never SQL-null
+    assert out[3]["low"] is True and out[0]["low"] is False
+    assert out[3]["pos"] is False  # null >= 0 → false, not null
+    # null != "x" → true: row 4's null name is kept distinct
+    assert [x["not_ada"] for x in out] == [False, True, True, True]
+    # the same comparisons as select() predicates keep/drop jq's rows
+    assert [x["id"] for x in rows(
+        jq_transform(people, "select(.salary < 80000) | {id}"))] == [2, 3, 4]
+    assert [x["id"] for x in rows(
+        jq_transform(people, 'select(.name != "Ada Lovelace") | {id}'))] == [2, 3, 4]
+    assert [x["id"] for x in rows(
+        jq_transform(people, "select(.salary == null) | {id}"))] == [4]
+    assert [x["id"] for x in rows(
+        jq_transform(people, "select(.name != null) | {id}"))] == [1, 2, 3]
+
+
+def test_select_in_value_context_raises(people):
+    """select() in value context (object values, // operands, map
+    bodies) has no one-Column equivalent of jq's empty-propagation —
+    bubbling it to the global WHERE would silently drop rows, so it
+    must raise. In row context (top-level stage, parenthesized group
+    in stage position) it keeps compiling to WHERE."""
+    with pytest.raises(JqError, match="value expression"):
+        compile_program('{id, a: ((.name | select(.dept)) // "d")}', people.schema)
+    with pytest.raises(JqError, match="value expression|pipe stage"):
+        compile_program(
+            '{id, s: (.skills | map(. | select(. == "py")))}', people.schema
+        )
+    out = jq_transform(people, '(select(.dept == "eng") | {id})')
+    assert [x["id"] for x in rows(out)] == [1, 3]
+
+
 def test_alternative_operator(people):
     out = jq_transform(people, '{id, n: (.name // "anon"), s: (.salary // 0)}')
     r = rows(out)
