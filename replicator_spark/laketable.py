@@ -312,7 +312,25 @@ class LakeTable:
         """Read a snapshot (time travel via ``version``), optionally
         pruned to a bucket list — the file-level partition pruning that
         MERGE relies on. Resolves merge-on-read deltas when present."""
-        snap = self._snap(version)
+        return self._read_snapshot(
+            self._snap(version),
+            buckets=buckets,
+            include_deleted=include_deleted,
+            include_engine_cols=include_engine_cols,
+        )
+
+    def _read_snapshot(
+        self,
+        snap: cl.Snapshot,
+        buckets: Sequence[int] | None = None,
+        include_deleted: bool = False,
+        include_engine_cols: bool = False,
+    ) -> DataFrame:
+        """read() body over an already-resolved snapshot — callers that
+        derive per-snapshot state first (bucket routing, key columns)
+        pass the same object so one snapshot load serves the whole
+        operation and the routing can never straddle a concurrent
+        commit."""
         deltas = self._deltas(snap)
         bucket_ids = (
             list(snap.files.keys() | deltas.keys())
@@ -360,7 +378,10 @@ class LakeTable:
         to the second key column."""
         snap = self._snap(version)
         kc = self.key_columns(snap)
-        df = self.read(version=version, buckets=[self.bucket_of(key, snap)])
+        # one snapshot load serves routing AND the scan: no second
+        # metadata parse, and the bucket id can't straddle a concurrent
+        # commit that changes the file lists it routes into
+        df = self._read_snapshot(snap, buckets=[self.bucket_of(key, snap)])
         df = df.where(F.col(kc[0]) == key)
         if path is not None:
             if len(kc) < 2:

@@ -84,31 +84,30 @@ def compile_condition(c: Condition) -> Column:
 def compile_condition_on(f: Column, op: str, value) -> Column:
     """Operator core shared with filters.EventFilter (same taxonomy —
     ``pkg/models/types.go:231-236`` FieldFilter reuses these ops)."""
-    c = Condition("", op, value)
     if op == "exists":
         return f.isNotNull()
     if op == "not_exists":
         return f.isNull()
     if op == "eq":
-        return f == F.lit(c.value)
+        return f == F.lit(value)
     if op == "ne":
-        return f != F.lit(c.value)
+        return f != F.lit(value)
     if op == "gt":
-        return f > F.lit(c.value)
+        return f > F.lit(value)
     if op == "lt":
-        return f < F.lit(c.value)
+        return f < F.lit(value)
     if op == "gte":
-        return f >= F.lit(c.value)
+        return f >= F.lit(value)
     if op == "lte":
-        return f <= F.lit(c.value)
+        return f <= F.lit(value)
     if op == "contains":
-        return f.contains(c.value)
+        return f.contains(value)
     if op == "in":
-        return f.isin(*list(c.value))
+        return f.isin(*list(value))
     if op == "nin":
-        return ~f.isin(*list(c.value))
+        return ~f.isin(*list(value))
     if op == "regex":
-        return f.rlike(c.value)
+        return f.rlike(value)
     raise ValueError(f"unknown condition operator: {op}")
 
 
