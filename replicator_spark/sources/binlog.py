@@ -257,6 +257,16 @@ def decode_binlog(data: bytes) -> list[dict]:
     while off + 19 <= len(data):
         ts, etype, _srv, size, _log_pos, _flags = _HDR.unpack_from(data, off)
         end_pos = off + size
+        # fail-loud bounds: a zero-padded tail (crash-torn segment)
+        # declares size=0, which would pin end_pos == off and spin this
+        # loop forever (and in CRC mode crc32(b'') == 0 matches the
+        # zeroed footer); a declared size past EOF is a torn event whose
+        # positional row parse would silently drop trailing rows.
+        if size < 19 or end_pos > len(data):
+            raise ValueError(
+                f"malformed binlog event at pos {off}: declared size "
+                f"{size} with {len(data) - off} bytes remaining"
+            )
         if checksum_trim and etype != FDE:
             (want,) = struct.unpack_from("<I", data, end_pos - 4)
             got = zlib.crc32(data[off : end_pos - 4])
@@ -398,6 +408,16 @@ def read_binlog_feed(spark, binlog_dir: str, *, streaming: bool = False):
                 seg = int(base.rsplit(".", 1)[-1]) if "." in base else 0
                 for ev in decode_binlog(bytes(content)):
                     img = ev["after"] if ev["op"] != "delete" else ev["before"]
+                    if ev["log_pos"] >= 1 << 32:
+                        # the 32-bit log_pos budget is the real server's
+                        # own uint32 position limit; a larger offset
+                        # would alias into the next segment's seq range
+                        # and silently misorder the LWW merge — same
+                        # loud guard as the Kafka twin's 2^40 budget
+                        raise ValueError(
+                            f"binlog segment {base} exceeds the 4 GiB "
+                            f"log_pos budget (offset {ev['log_pos']})"
+                        )
                     rows.append(
                         (
                             (seg << 32) | ev["log_pos"],

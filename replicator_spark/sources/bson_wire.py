@@ -130,6 +130,16 @@ def decode_bson(b: bytes, off: int = 0) -> tuple[dict, int]:
     skip silently."""
     (total,) = struct.unpack_from("<i", b, off)
     end = off + total
+    # fail-loud bounds: the minimum document is int32 len + terminator
+    # (5 bytes). A zero-padded tail (crash-torn segment) reads total=0,
+    # whose end-1 lands on the PREVIOUS document's 0x00 terminator —
+    # the empty doc would "decode" without advancing the offset and
+    # spin the change-stream loop forever.
+    if total < 5 or end > len(b):
+        raise ValueError(
+            f"malformed BSON document at {off}: declared length {total} "
+            f"with {len(b) - off} bytes remaining"
+        )
     if b[end - 1] != 0:
         raise ValueError("BSON document missing terminator")
     p = off + 4

@@ -270,8 +270,15 @@ def read_kafka_segments(
                             topic,
                             part,
                             r["offset"],
-                            None if r["key"] is None else r["key"].decode(),
-                            None if r["value"] is None else r["value"].decode(),
+                            # Kafka keys/values are arbitrary bytes — a
+                            # non-UTF-8 payload (msgpack/avro producer)
+                            # must flow to the normalizer's non-JSON
+                            # log-and-skip guard as a garbled string,
+                            # not crash the whole segment decode task
+                            None if r["key"] is None
+                            else r["key"].decode(errors="replace"),
+                            None if r["value"] is None
+                            else r["value"].decode(errors="replace"),
                         )
                     )
             yield pd.DataFrame(

@@ -60,6 +60,21 @@ def test_decode_rejects_garbage_and_handles_negative_ints():
     assert ev["after"] == (-5, -(2**40), "neg")
 
 
+def test_zero_padded_and_truncated_segments_raise():
+    """A crash-torn segment (zero-padded tail or an event whose declared
+    size runs past EOF) must fail loudly — a size<19 event would
+    otherwise pin end_pos == off and spin the decode loop forever (in
+    CRC mode crc32(b'') == 0 even matches the zeroed footer), and a
+    past-EOF body would silently drop trailing rows."""
+    w = _sample_writer()
+    padded = bytes(w.buf) + b"\x00" * 64
+    with pytest.raises(ValueError, match="malformed binlog event"):
+        decode_binlog(padded)
+    truncated = bytes(w.buf)[:-7]  # cut inside the last event's body
+    with pytest.raises(ValueError, match="malformed binlog event"):
+        decode_binlog(truncated)
+
+
 def test_decode_crc32_checksummed_stream():
     """A 5.6+ stream with CRC32 checksums: 4 bytes trail every
     post-FDE event; the FDE's alg byte sits before its own CRC."""

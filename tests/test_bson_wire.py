@@ -67,6 +67,18 @@ def test_decode_rejects_unknown_type_and_torn_doc():
         decode_bson(torn)
 
 
+def test_zero_padded_stream_raises_instead_of_looping():
+    """A zero-padded tail (crash-torn segment) declares document
+    length 0, whose end-1 lands on the PREVIOUS document's terminator —
+    without the length bound the change-stream loop would append empty
+    docs forever without advancing."""
+    doc = encode_bson({"v": 1})
+    with pytest.raises(ValueError, match="malformed BSON document"):
+        decode_bson(doc + b"\x00\x00\x00\x00", off=len(doc))
+    with pytest.raises(ValueError, match="malformed BSON document"):
+        decode_bson(doc[:8])  # declared length past EOF
+
+
 def test_changestream_writer_decode():
     w = ChangeStreamWriter(db="appdb", coll="files")
     w.insert({"_id": ObjectId.from_int(1)}, {"_id": ObjectId.from_int(1), "rev": 1})

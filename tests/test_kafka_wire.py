@@ -124,6 +124,28 @@ def test_offset_beyond_seq_budget_raises(spark, tmp_path):
         feed.collect()
 
 
+def test_non_utf8_payload_flows_to_log_and_skip(spark, tmp_path):
+    """Kafka keys/values are arbitrary bytes: a msgpack/avro producer's
+    non-UTF-8 payload must reach the normalizer's non-JSON guard as a
+    garbled string (log-and-skip), not crash the whole segment decode
+    task with UnicodeDecodeError."""
+    from replicator_spark.sources.normalize import from_kafka_messages
+
+    w = KafkaSegmentWriter()
+    w.append_batch(
+        [
+            (b"\xff\xfe", b"\x80\x81\xffnot-utf8"),
+            (b"1", json.dumps({"action": "insert", "data": "{}"}).encode()),
+        ]
+    )
+    w.save(str(tmp_path / "partition=0" / "00000000000000000000.log"))
+    feed = read_kafka_segments(spark, str(tmp_path), topic="t")
+    rows = feed.orderBy("offset").collect()
+    assert len(rows) == 2  # decode survives
+    assert "�" in rows[0]["value"]  # replaced, not raised
+    assert from_kafka_messages(feed).count() == 1  # garbled row dropped
+
+
 def test_spark_kafka_segment_feed_normalizes(spark, tmp_path):
     from replicator_spark.sources.normalize import from_kafka_messages
 
