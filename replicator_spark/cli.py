@@ -21,6 +21,15 @@ import sys
 import threading
 from dataclasses import dataclass, field
 
+# Identity fields pinned for a streaming job's lifetime: baked into the
+# table handle, the offset WAL, and the ledger's batch-key namespace.
+# Shared by the config watcher (run_streaming_watched) and the HTTP
+# server's PUT /config validation — one definition so the two gates can
+# never drift apart.
+PINNED_IDENTITY_FIELDS = (
+    "name", "table_root", "checkpoint_dir", "feed_dir", "streaming"
+)
+
 
 @dataclass
 class JobConfig:
@@ -172,7 +181,7 @@ def run_streaming_watched(spark, cfg: JobConfig, table, config_path: str | None)
     from . import lifecycle
     from .streaming import run_stream
 
-    PINNED = ("name", "table_root", "checkpoint_dir", "feed_dir", "streaming")
+    PINNED = PINNED_IDENTITY_FIELDS
 
     while True:
         engine = _build_engine(cfg)

@@ -167,10 +167,12 @@ class KafkaWireSink(Sink):
                 }
             )
 
-        # collect() here moves O(partitions) METADATA rows, not bytes
+        # collect() here moves O(partitions) METADATA rows, not bytes.
+        # groupBy itself shuffles rows by partition id — a repartition()
+        # in front of it would exchange the same keyed bytes a second
+        # time for no placement benefit.
         metas = (
-            out.repartition(self.num_partitions, F.col("partition"))
-            .groupBy("partition")
+            out.groupBy("partition")
             .applyInPandas(_encode, "partition int, path string, n_records long")
             .collect()
         )
@@ -276,15 +278,21 @@ class FanoutResult:
 
 
 def fan_out(prepared: DataFrame, batch_key: str, sinks: list[Sink]) -> FanoutResult:
-    """Write one prepared batch to every sink, continue-on-error."""
-    prepared = prepared.persist()
+    """Write one prepared batch to every sink, continue-on-error.
+
+    Materialization is ``localCheckpoint(eager=True)``, NOT ``persist``:
+    the prepared plan may carry ``observe()`` nodes (pipeline's
+    received/seq-range/schema-stale counters), and a persist would let
+    the FIRST sink's action drive the caching — a filtered/limited first
+    action (``ConsoleSink.show``) would materialize partial partitions
+    and fire those Observations with partial counts. The eager
+    checkpoint computes everything exactly once up front, so every sink
+    reads the same fully-materialized batch."""
+    prepared = prepared.localCheckpoint(eager=True)
     results, errors = {}, {}
-    try:
-        for s in sinks:
-            try:
-                results[s.name] = s.write(prepared, batch_key)
-            except Exception as ex:  # noqa: BLE001 — reference semantics
-                errors[s.name] = repr(ex)
-    finally:
-        prepared.unpersist()
+    for s in sinks:
+        try:
+            results[s.name] = s.write(prepared, batch_key)
+        except Exception as ex:  # noqa: BLE001 — reference semantics
+            errors[s.name] = repr(ex)
     return FanoutResult(batch_key, results, errors)

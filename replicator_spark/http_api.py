@@ -174,7 +174,12 @@ class ManagementServer:
                 continue
             n += 1
             for k, v in row.items():
-                if isinstance(v, (int, float)) and k != "snapshot_version":
+                # ts_ms is a wall-clock stamp, snapshot_version a table
+                # pointer — summing either yields a meaningless
+                # pseudo-counter next to the real ones
+                if isinstance(v, (int, float)) and k not in (
+                    "snapshot_version", "ts_ms"
+                ):
                     totals[k] = totals.get(k, 0) + v
         return {"stream": name, "batches": n, "totals": totals}
 
@@ -207,7 +212,7 @@ class ManagementServer:
         effect (with a fresh batch-id sequence) at the next restart.
         Returns validation errors ([] = ok)."""
         from . import commitlog as cl
-        from .cli import JobConfig
+        from .cli import PINNED_IDENTITY_FIELDS, JobConfig
 
         cfg = JobConfig.from_dict(body)  # raises on unknown keys
         errs = cfg.validate()
@@ -215,9 +220,9 @@ class ManagementServer:
             return errs or ["server has no config_path configured"]
         current = self.config_get()
         if current is not None:
-            # same pinned set as cli.run_streaming_watched's PINNED
-            pinned = ("name", "table_root", "checkpoint_dir", "feed_dir",
-                      "streaming")
+            # THE pinned set — shared with cli.run_streaming_watched so
+            # this gate can't accept a change the watcher would reject
+            pinned = PINNED_IDENTITY_FIELDS
             cur_cfg = JobConfig.from_dict(current)
             changed = [
                 f for f in pinned

@@ -139,6 +139,9 @@ def test_stream_metrics_endpoint(served):
     m = _j(_req(base + "/streams/feed/metrics"))
     assert m["stream"] == "feed" and m["batches"] >= 2
     assert m["totals"]["applied"] > 0 and m["totals"]["received"] > 0
+    # wall-clock stamps and snapshot pointers are not counters — summing
+    # ts_ms would surface a ~1.7e12×batches pseudo-counter
+    assert "ts_ms" not in m["totals"] and "snapshot_version" not in m["totals"]
     assert _req(base + "/streams/nosuch/metrics")[0] == 404
 
 
