@@ -2479,6 +2479,127 @@ SELECT id AS vec_id, MIN(root) AS cluster FROM reach GROUP BY 1
 """
 
 
+def _kmeans_ctes(src: str, k: int = 8, iters: int = 2, dim: int = 64) -> str:
+    """DuckDB CTE chain re-deriving ops/cluster.kmeans_fit_predict from
+    scratch: init from the k smallest ids, ``iters`` assign→update
+    rounds (centroids rounded to 5 dp — the determinism contract both
+    engines share), one final assignment as ``outa(vec_id, v, cluster,
+    d2)``. Distances are the same sequential index-order folds the
+    Spark side computes, so assignments agree to the row."""
+    d2 = (
+        f"list_sum(list_transform(range(1,{dim + 1}), "
+        "i -> (e.v[i]-c.c[i])*(e.v[i]-c.c[i])))"
+    )
+
+    def assign(name, cents):
+        return f"""{name} AS (
+  SELECT vec_id, v, cluster, d2 FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+    FROM (SELECT e.vec_id, e.v, c.cluster, {d2} AS d2
+          FROM {src} e, {cents} c))
+  WHERE rn = 1)"""
+
+    parts = [
+        f"""cent0 AS (
+  SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS cluster, v AS c
+  FROM {src} ORDER BY vec_id LIMIT {k})"""
+    ]
+    for it in range(1, iters + 1):
+        parts.append(assign(f"assign{it}", f"cent{it - 1}"))
+        parts.append(
+            f"""newc{it} AS (
+  SELECT cluster, list(val ORDER BY i) AS c FROM (
+    SELECT a.cluster, t.i, round(sum(a.v[t.i]) / count(*), 5) AS val
+    FROM assign{it} a CROSS JOIN range(1,{dim + 1}) t(i)
+    GROUP BY a.cluster, t.i) GROUP BY cluster)"""
+        )
+        parts.append(
+            f"""cent{it} AS (SELECT p.cluster, coalesce(n.c, p.c) AS c
+  FROM cent{it - 1} p LEFT JOIN newc{it} n USING (cluster))"""
+        )
+    parts.append(assign("outa", f"cent{iters}"))
+    return ",\n".join(parts)
+
+
+def q_embedding_kmeans(spark, sf_dir):
+    """Deterministic Lloyd's k-means over the embedding corpus
+    (ops/cluster.kmeans_fit_predict): init from the 8 smallest ids,
+    2 assign→update rounds with centroids rounded to 5 dp, final
+    assignment returned per row. The oracle recomputes the ENTIRE
+    iterative algorithm in DuckDB CTEs — hash-equality proves init
+    order, the argmin tiebreak, the empty-cluster carry, and both
+    update rounds, not just the final projection. This is the trained
+    partitioner SemDedup and IVF-style search build on; the reference
+    has no clustering surface (extension op, like ops/dedup_text)."""
+    from replicator_spark.ops.cluster import kmeans_fit_predict
+
+    emb = _load(spark, sf_dir, "embeddings")
+    out, _ = kmeans_fit_predict(emb, k=8, iters=2)
+    return out.select(
+        "vec_id", "cluster", F.round("dist2", 3).alias("dist2")
+    )
+
+
+SQL_embedding_kmeans = f"""
+WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+{_kmeans_ctes("e0")}
+SELECT vec_id, cluster, round(d2, 3) AS dist2 FROM outa
+"""
+
+
+def q_semdedup(spark, sf_dir):
+    """SemDedup (Abbas et al. 2023): k-means partition, then drop any
+    row with a lower-id cosine-≥0.95 neighbour INSIDE its cluster —
+    the quadratic verify is bounded per cluster, never global. The
+    corpus is near-orthogonal, so the same deterministic near-dup
+    families as ``embedding_dedup_end2end`` are planted in-query
+    (%10 → +100000 copy perturbed +0.1, %20 → +200000 at +0.15); the
+    oracle re-runs the full clustering chain plus the same drop rule,
+    so hash-equality proves planted copies co-cluster with their
+    originals and exactly the non-canonical family members drop."""
+    from replicator_spark.ops.cluster import semdedup
+
+    emb = _load(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = emb.select("vec_id", v.alias("v"))
+    perturb = lambda off: F.concat(  # noqa: E731
+        F.array(F.col("v")[0] + F.lit(off)), F.slice(F.col("v"), 2, 63)
+    )
+    d1 = base.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), perturb(0.1).alias("v")
+    )
+    d2 = base.where(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 200000).alias("vec_id"), perturb(0.15).alias("v")
+    )
+    aug = base.unionByName(d1).unionByName(d2)
+    return semdedup(aug, vec_col="v", k=8, iters=2, tau=0.95)
+
+
+SQL_semdedup = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+aug AS (
+  SELECT vec_id, v FROM e
+  UNION ALL
+  SELECT vec_id + 100000, list_prepend(v[1] + 0.1, v[2:]) FROM e
+  WHERE vec_id % 10 = 0
+  UNION ALL
+  SELECT vec_id + 200000, list_prepend(v[1] + 0.15, v[2:]) FROM e
+  WHERE vec_id % 20 = 0
+),
+{_kmeans_ctes("aug")},
+sem AS (
+  SELECT b.vec_id, b.cluster, min(a.vec_id) AS dup_of
+  FROM outa b LEFT JOIN outa a
+    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+   AND round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v))
+                * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.95
+  GROUP BY b.vec_id, b.cluster
+)
+SELECT vec_id, cluster, dup_of IS NULL AS kept, dup_of FROM sem
+"""
+
+
 # -- non-SQL-expressible ops (driver records rows-only checks) --------------
 
 
@@ -3056,6 +3177,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "dedup_pipeline_end2end": q_dedup_pipeline_end2end,
         "embedding_dedup_end2end": q_embedding_dedup_end2end,
+        "embedding_kmeans": q_embedding_kmeans,
+        "semdedup": q_semdedup,
         "decontaminate": q_decontaminate,
         "repetition_filter": q_repetition_filter,
         "doc_chunking": q_doc_chunking,
@@ -3133,6 +3256,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": SQL_dedup_clusters,
         "dedup_pipeline_end2end": SQL_dedup_pipeline_end2end,
         "embedding_dedup_end2end": SQL_embedding_dedup_end2end,
+        "embedding_kmeans": SQL_embedding_kmeans,
+        "semdedup": SQL_semdedup,
         "decontaminate": SQL_decontaminate,
         "repetition_filter": SQL_repetition_filter,
         "simhash_dedup": SQL_simhash_dedup,

@@ -83,7 +83,7 @@ def test_no_python_eval_in_cdc_queries(spark):
         "dedup_clusters", "decontaminate", "repetition_filter",
         "doc_chunking", "sessionize_events", "quality_unigram_logprob",
         "sample_mixture", "tfidf_keywords", "ngram_novelty",
-        "substring_dedup",
+        "substring_dedup", "embedding_kmeans", "semdedup",
     ]
     qs = entry.queries()
     for name in jvm_only:
