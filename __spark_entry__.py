@@ -2600,6 +2600,115 @@ SELECT vec_id, cluster, dup_of IS NULL AS kept, dup_of FROM sem
 """
 
 
+_TEMPLATE_TEXT = (
+    "all rights reserved terms of service privacy policy cookie notice "
+    "subscribe to our newsletter for updates contact us about careers"
+)
+
+
+def q_incremental_minhash_dedup(spark, sf_dir):
+    """Incremental MinHash dedup riding the CDC lake table
+    (ops/incremental_dedup): the corpus arrives as FOUR id-ordered
+    batches (base-doc tertiles, then a planted 60-copy template
+    family), each batch appended to a ``(band_key, doc_id)`` signature
+    index held in a real LakeTable (mor merge, ledger idempotence,
+    CAS commit) and joined against it for candidate pairs under the
+    ONLINE bucket policy — ≤ max_bucket earlier members: pair with
+    all; more: ONE star edge to the bucket min, so an adversarial dup
+    family stays O(bands) per copy. The oracle recomputes the policy's
+    CLOSED FORM over the final corpus (per (bucket, doc): n_earlier
+    decides the branch), so hash-equality proves the table-replay path
+    — four merges, four snapshot reads, the join and the cap — lands
+    on exactly the arrival-order pair set. max_bucket=20 puts the
+    planted family (60 copies sharing every band) through BOTH
+    branches: its first 21 members pair fully, the rest take star
+    edges. sha2-60 base hash + the same HUGEINT affine recomputation
+    as ``minhash_lsh``; 64 hashes / 8 bands (r=8, the production
+    banding ratio)."""
+    from replicator_spark.ops.incremental_dedup import (
+        replay_documents_incremental,
+    )
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    plant = (
+        _load(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 60)
+        .select(
+            (F.col("doc_id") + 10000000).alias("doc_id"),
+            F.lit(_TEMPLATE_TEXT).alias("text"),
+        )
+    )
+    corpus = docs.unionByName(plant)
+    t1, t2 = docs.selectExpr(
+        "percentile(doc_id, 0.34) as t1", "percentile(doc_id, 0.67) as t2"
+    ).first()
+    tmp = _scratch("mh_incr")
+    return replay_documents_incremental(
+        spark,
+        corpus,
+        f"{tmp}/index",
+        splits=[int(t1), int(t2), 10000000],
+        num_hashes=64,
+        bands=8,
+        base_hash="sha2_60",
+        max_bucket=20,
+    )
+
+
+def _sql_incremental_minhash_dedup() -> str:
+    from replicator_spark.ops.dedup_text import affine_constants
+
+    a, b = affine_constants(64)
+    consts = ",".join(f"({i},{int(a[i])},{int(b[i])})" for i in range(64))
+    return f"""
+WITH consts(i, a, b) AS (VALUES {consts}),
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id, '{_TEMPLATE_TEXT}' AS text
+  FROM documents WHERE doc_id < 60
+),
+idx AS (
+  SELECT doc_id, text, unnest(range(1, GREATEST(length(text) - 4, 1) + 1)) AS p
+  FROM corpus
+),
+sh AS (SELECT DISTINCT doc_id, substr(text, p, 5) AS s FROM idx),
+hx AS (SELECT doc_id, ('0x' || substr(sha256(s), 1, 15))::BIGINT AS x FROM sh),
+signed AS (
+  SELECT doc_id, i,
+         (((a::HUGEINT * x::HUGEINT + b::HUGEINT) % 18446744073709551616::HUGEINT
+           + 9223372036854775808::HUGEINT) % 18446744073709551616::HUGEINT
+          - 9223372036854775808::HUGEINT)::BIGINT AS v
+  FROM hx, consts
+),
+sig AS (SELECT doc_id, i, MIN(v) AS v FROM signed GROUP BY 1, 2),
+bands AS (
+  SELECT doc_id, i // 8 AS band_id,
+         string_agg(v::VARCHAR, ',' ORDER BY i) AS key
+  FROM sig GROUP BY 1, 2
+),
+rk AS (
+  SELECT band_id, key, doc_id,
+         row_number() OVER (PARTITION BY band_id, key ORDER BY doc_id) - 1
+           AS n_earlier,
+         MIN(doc_id) OVER (PARTITION BY band_id, key) AS min_id
+  FROM bands
+),
+small AS (
+  SELECT DISTINCT a.doc_id AS id_a, r.doc_id AS id_b
+  FROM rk r JOIN bands a USING (band_id, key)
+  WHERE r.n_earlier BETWEEN 1 AND 20 AND a.doc_id < r.doc_id
+),
+star AS (
+  SELECT DISTINCT min_id AS id_a, doc_id AS id_b FROM rk WHERE n_earlier > 20
+)
+SELECT id_a, id_b FROM (SELECT * FROM small UNION SELECT * FROM star)
+"""
+
+
+SQL_incremental_minhash_dedup = _sql_incremental_minhash_dedup()
+
+
 # -- non-SQL-expressible ops (driver records rows-only checks) --------------
 
 
@@ -2658,12 +2767,6 @@ def q_minhash_lsh(spark, sf_dir):
     cands = bucket_candidate_pairs(sized, max_bucket=50)
     stats = bucket_stats(sized, max_bucket=50)
     return cands.crossJoin(F.broadcast(stats))
-
-
-_TEMPLATE_TEXT = (
-    "all rights reserved terms of service privacy policy cookie notice "
-    "subscribe to our newsletter for updates contact us about careers"
-)
 
 
 def _sql_minhash_lsh() -> str:
@@ -3179,6 +3282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dedup_end2end": q_embedding_dedup_end2end,
         "embedding_kmeans": q_embedding_kmeans,
         "semdedup": q_semdedup,
+        "incremental_minhash_dedup": q_incremental_minhash_dedup,
         "decontaminate": q_decontaminate,
         "repetition_filter": q_repetition_filter,
         "doc_chunking": q_doc_chunking,
@@ -3258,6 +3362,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_dedup_end2end": SQL_embedding_dedup_end2end,
         "embedding_kmeans": SQL_embedding_kmeans,
         "semdedup": SQL_semdedup,
+        "incremental_minhash_dedup": SQL_incremental_minhash_dedup,
         "decontaminate": SQL_decontaminate,
         "repetition_filter": SQL_repetition_filter,
         "simhash_dedup": SQL_simhash_dedup,

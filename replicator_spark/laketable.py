@@ -984,11 +984,19 @@ class LakeTable:
         new_version = snap.version + 1
         out_dir = self._new_data_dir(new_version)
         self._write_buckets(result, out_dir, touched, key_cols, files_per_bucket)
-        m = obs.get
+        new_files = self._list_bucket_files(out_dir)
+        if new_files:
+            m = obs.get
+        else:
+            # empty micro-batch: zero write tasks ⇒ the CollectMetrics
+            # row never materialized (obs.get would raise). A non-empty
+            # batch always rewrites ≥1 row (the cow result keeps every
+            # existing row of its touched buckets), so no-files can
+            # only mean no input rows
+            m = {"applied": 0, "skipped_stale": 0, "deleted": 0, "seq_hi": None}
 
         files = dict(snap.files)
         deltas = dict(self._deltas(snap))
-        new_files = self._list_bucket_files(out_dir)
         for b in touched:
             files[str(b)] = new_files.get(str(b), [])
             deltas.pop(str(b), None)  # cow rewrite folds deltas in
@@ -1057,11 +1065,18 @@ class LakeTable:
         self._write_buckets(
             delta, out_dir, range(snap.num_buckets), key_cols, files_per_bucket
         )
-        m = obs.get
+        new_files = self._list_bucket_files(out_dir)
+        if new_files:
+            m = obs.get
+        else:
+            # empty micro-batch (a fully-filtered feed batch is legal):
+            # the write ran zero tasks, so the CollectMetrics row never
+            # materialized and obs.get would raise; a non-empty delta
+            # always writes ≥1 file, so no-files ⇒ no-rows is safe
+            m = {"applied": 0, "deleted": 0, "seq_hi": None}
 
         files = dict(snap.files)
         deltas = {b: list(v) for b, v in self._deltas(snap).items()}
-        new_files = self._list_bucket_files(out_dir)
         for b, fs in new_files.items():
             deltas.setdefault(b, []).extend(fs)
         stats = MergeStats(

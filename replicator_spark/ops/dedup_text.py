@@ -164,10 +164,15 @@ def minhash_signatures(
     return base.select(id_col, sig.alias("signature"))
 
 
-def _lsh_buckets(sigs: DataFrame, id_col: str, bands: int) -> DataFrame:
-    """(band_id, band_hash) → member id list + size, one row per bucket
-    with ≥1 member. Shared by candidate generation and bucket stats."""
-    banded = sigs.select(
+def band_rows(sigs: DataFrame, id_col: str, bands: int) -> DataFrame:
+    """One (id, band_id, band_hash) row per band per signature — the
+    exploded banding shared by batch bucketing (``lsh_band_buckets``)
+    and the incremental index (``ops/incremental_dedup``). The band
+    hash is xxhash64 of the comma-joined band slice; callers group by
+    (band_id, band_hash), identical to grouping by the slice string
+    itself absent a 64-bit collision (which the oracle hash gates
+    would expose)."""
+    return sigs.select(
         id_col,
         F.posexplode(
             F.transform(
@@ -188,6 +193,12 @@ def _lsh_buckets(sigs: DataFrame, id_col: str, bands: int) -> DataFrame:
             )
         ).alias("band_id", "band_hash"),
     )
+
+
+def _lsh_buckets(sigs: DataFrame, id_col: str, bands: int) -> DataFrame:
+    """(band_id, band_hash) → member id list + size, one row per bucket
+    with ≥1 member. Shared by candidate generation and bucket stats."""
+    banded = band_rows(sigs, id_col, bands)
     return banded.groupBy("band_id", "band_hash").agg(
         F.collect_list(id_col).alias("ids"), F.count(F.lit(1)).alias("n")
     )

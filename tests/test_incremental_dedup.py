@@ -1,0 +1,130 @@
+"""Incremental MinHash index (ops/incremental_dedup): online bucket
+policy branches, exactly-once replay through the table ledger,
+arrival-order enforcement, equality with the static LSH pass, and
+compaction safety."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from replicator_spark.ops.dedup_text import (
+    minhash_lsh_candidates,
+    minhash_signatures,
+)
+from replicator_spark.ops.incremental_dedup import (
+    MinHashIndex,
+    replay_documents_incremental,
+)
+
+TEMPLATE = "the quick brown fox jumps over the lazy dog again and again"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.fixture()
+def family_docs(spark):
+    """8 pairwise-disjoint docs (token ranges don't overlap, so no
+    background bands collide) + a 7-copy template family (100..106)."""
+    rows = [
+        (i, " ".join(f"tok{i * 40 + k:04d}" for k in range(30))) for i in range(8)
+    ]
+    rows += [(100 + j, TEMPLATE) for j in range(7)]
+    return _docs(spark, rows)
+
+
+def test_incremental_equals_static_when_no_oversized(spark, family_docs, tmp_path):
+    inc = replay_documents_incremental(
+        spark, family_docs, str(tmp_path / "idx"), n_batches=3, max_bucket=50
+    )
+    static = minhash_lsh_candidates(
+        minhash_signatures(family_docs), max_bucket=50
+    )
+    assert sorted(map(tuple, inc.collect())) == sorted(map(tuple, static.collect()))
+    # the family is a clique: 7*6/2 pairs at minimum
+    fam = [r for r in inc.collect() if r["id_a"] >= 100]
+    assert len(fam) == 21
+
+
+def test_online_star_branch(spark, family_docs, tmp_path):
+    """max_bucket=3: the first 4 family members pair fully (n_earlier
+    ≤ 3), members 5..7 take ONE star edge each to the family min."""
+    inc = replay_documents_incremental(
+        spark, family_docs, str(tmp_path / "idx"), n_batches=2, max_bucket=3
+    )
+    fam = sorted(
+        (r["id_a"], r["id_b"]) for r in inc.collect() if r["id_a"] >= 100
+    )
+    full = [(a, b) for a in range(100, 104) for b in range(a + 1, 104)]
+    stars = [(100, b) for b in range(104, 107)]
+    assert fam == sorted(full + stars)
+
+
+def test_replay_is_ledger_noop(spark, family_docs, tmp_path):
+    root = str(tmp_path / "idx")
+    idx = MinHashIndex(spark, root).create(num_buckets=8)
+    first = idx.add_batch(family_docs, "docs-0")
+    n_pairs = first.count()
+    assert n_pairs > 0
+    rows_after = idx.table.read().count()
+    # replaying the same batch: no new pairs, no new index rows, no
+    # new snapshot version
+    v = idx.table._snap().version
+    assert idx.add_batch(family_docs, "docs-0") is None
+    assert idx.table.read().count() == rows_after
+    assert idx.table._snap().version == v
+
+
+def test_out_of_order_batch_raises(spark, family_docs, tmp_path):
+    idx = MinHashIndex(spark, str(tmp_path / "idx")).create(num_buckets=8)
+    idx.add_batch(family_docs.where(F.col("doc_id") >= 100), "b0")
+    with pytest.raises(ValueError, match="arrival order"):
+        idx.add_batch(family_docs.where(F.col("doc_id") < 8), "b1")
+
+
+def test_pairs_split_across_batches(spark, family_docs, tmp_path):
+    """A cross-batch dup pair is discovered in the LATER doc's batch."""
+    idx = MinHashIndex(spark, str(tmp_path / "idx")).create(num_buckets=8)
+    p0 = idx.add_batch(family_docs.where(F.col("doc_id") <= 102), "b0")
+    assert sorted(map(tuple, p0.select("id_a", "id_b").collect())) == [
+        (100, 101), (100, 102), (101, 102)
+    ]
+    p1 = idx.add_batch(family_docs.where(F.col("doc_id") > 102), "b1")
+    got = sorted(map(tuple, p1.select("id_a", "id_b").collect()))
+    want = sorted(
+        (a, b) for b in range(103, 107) for a in range(100, b)
+    )
+    assert got == want
+
+
+def test_compaction_preserves_index(spark, family_docs, tmp_path):
+    idx = MinHashIndex(spark, str(tmp_path / "idx")).create(num_buckets=4)
+    idx.add_batch(family_docs.where(F.col("doc_id") < 8), "b0")
+    idx.add_batch(family_docs.where(F.col("doc_id") >= 100), "b1")
+    before = sorted(map(tuple, idx.table.read().collect()))
+    idx.table.compact()
+    assert sorted(map(tuple, idx.table.read().collect())) == before
+    st = idx.stats()
+    assert st["batches"] == 2 and st["index_rows"] == len(before)
+
+
+def test_empty_batch_commits_and_emits_nothing(spark, family_docs, tmp_path):
+    idx = MinHashIndex(spark, str(tmp_path / "idx")).create(num_buckets=4)
+    empty = family_docs.where(F.col("doc_id") < 0)
+    pairs = idx.add_batch(empty, "b0")
+    assert pairs.count() == 0
+    # committed: replay of the same key is a no-op, not a re-run
+    assert idx.add_batch(empty, "b0") is None
+
+
+def test_plans_arrow_only(spark, family_docs, tmp_path):
+    """Banding runs via the Arrow-vectorized runner (never row-at-a-
+    time pickling); the candidate join below the checkpoint is pure
+    JVM."""
+    idx = MinHashIndex(spark, str(tmp_path / "idx")).create(num_buckets=4)
+    entries = idx._band_entries(family_docs, "text", "doc_id")
+    plan = entries._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan and "BatchEvalPython" not in plan
+    pairs = idx.add_batch(family_docs, "b0")
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

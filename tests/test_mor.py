@@ -351,3 +351,31 @@ def test_quiet_bucket_expiry_never_resurrects(spark, tmp_path):
     # straggler update with seq 2 arrives late → still rejected
     table.merge(batch([row("a", "p", 2, "update")]), "s-2", mode="mor")
     assert table.read().where("repo = 'a'").count() == 0
+
+
+def test_empty_batch_merge_commits_cleanly(spark, tmp_path):
+    """An empty micro-batch (a fully-filtered feed batch is legal) must
+    commit as a zero-stat snapshot in BOTH modes — the write runs zero
+    tasks, so its CollectMetrics row never materializes and a naive
+    obs.get raises — and the committed batch_key must replay as a
+    ledger no-op."""
+    root = str(tmp_path / "t")
+    t = LakeTable(spark, root)
+    t.create(REPOS_SCHEMA, num_buckets=4)
+    cols = (
+        "repo string, path string, commit string, content string, "
+        "content_sha string, seq long, op string"
+    )
+    empty = spark.createDataFrame([], cols)
+    for i, mode in enumerate(("mor", "cow")):
+        st = t.merge(empty, f"e{i}", mode=mode)
+        assert (st.applied, st.deleted, st.seq_hi) == (0, 0, None), mode
+        assert not st.replayed
+    assert t.merge(empty, "e0", mode="mor").replayed
+    # the ledger advanced but no data files exist; a real batch after
+    # the empties applies normally
+    ne = spark.createDataFrame(
+        [("r", "p", "c", "x", "s", 1, "upsert")], cols
+    )
+    assert t.merge(ne, "e2", mode="mor").applied == 1
+    assert t.read().count() == 1
