@@ -167,8 +167,13 @@ class MinHashIndex:
             F.lit("upsert").alias("op"),
         )
         self.table.merge(batch, batch_key, mode="mor")
-        # the committed snapshot includes this batch: "earlier" = any
-        # index row with a smaller id, same-batch members included
+        return self._candidates(entries)
+
+    def _candidates(self, entries: DataFrame) -> DataFrame:
+        """Candidate pairs for a set of band entries against the
+        CURRENT index snapshot: "earlier" = any index row with a
+        smaller id (the post-merge snapshot includes the batch, so
+        same-batch members count)."""
         index = self.table.read().select("band_key", F.col("doc_id").alias("old_id"))
         mine = entries.select("band_key", F.col("doc_id").alias("new_id"))
         joined = mine.join(index, "band_key").where(
@@ -186,6 +191,27 @@ class MinHashIndex:
             .distinct()
         )
 
+    def candidates_for(
+        self,
+        docs: DataFrame,
+        *,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+    ) -> DataFrame:
+        """Recompute the candidate pairs of ALREADY-INDEXED docs
+        without touching the table — the streaming crash-gap recovery
+        path: a micro-batch that crashed after its merge committed but
+        before its pairs landed replays with add_batch → None; because
+        the stream's offset WAL guarantees no LATER batch has merged
+        yet, the current index state equals the post-merge state the
+        original run saw, so this join reproduces the identical pair
+        set. Outside that ordering guarantee (e.g. ad-hoc replay after
+        further batches) the result would include newer docs — use the
+        batch's original pairs output instead."""
+        return self._candidates(
+            self._band_entries(docs, text_col, id_col)
+        )
+
     def stats(self) -> dict:
         """Driver-side index accounting (bounded collects)."""
         snap = self.table._snap()
@@ -195,6 +221,79 @@ class MinHashIndex:
             "index_rows": n_rows,
             "batches": len(snap.committed_batches),
         }
+
+
+def run_dedup_index_stream(
+    spark: SparkSession,
+    docs_dir: str,
+    index_root: str,
+    checkpoint_dir: str,
+    pairs_dir: str,
+    *,
+    stream_name: str = "dedup",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    doc_schema: T.StructType | None = None,
+    max_files_per_trigger: int | None = 1,
+    **index_kw,
+):
+    """Structured-Streaming form of the index: tail a partitioned doc
+    feed (``batch_id=N`` dirs, ids ascending across batches — the same
+    arrival-order contract ``add_batch`` enforces; with
+    ``max_files_per_trigger`` rate limiting, each feed batch must be
+    ONE parquet file, otherwise a split batch's ids interleave across
+    micro-batches and the monotonicity guard fires), maintain the
+    index per micro-batch, and land each micro-batch's candidate
+    pairs under ``pairs_dir/batch_key=<k>``.
+
+    Exactly-once end-to-end: Spark's offset WAL names micro-batches
+    deterministically; the table ledger makes a replayed merge a
+    no-op; the per-batch pairs dir is overwritten on re-run. The one
+    subtle window — crash AFTER the merge committed but BEFORE the
+    pairs landed — replays with ``add_batch`` → None, and the pairs
+    are then RECOMPUTED via ``candidates_for``: the WAL guarantees no
+    later batch has merged, so the current index state equals what the
+    crashed run saw and the recomputed pair set is identical. Returns
+    the streaming query; ``trigger(availableNow)`` — drain-and-stop.
+    """
+    if doc_schema is None:
+        doc_schema = T.StructType(
+            [
+                T.StructField(id_col, T.LongType()),
+                T.StructField(text_col, T.StringType()),
+            ]
+        )
+    idx = MinHashIndex(spark, index_root, **index_kw)
+    if not idx.table.exists():
+        idx.create()
+
+    def _apply(batch_df, batch_id: int):
+        key = f"{stream_name}-{batch_id}"
+        pairs = idx.add_batch(batch_df, key, text_col=text_col, id_col=id_col)
+        if pairs is None:
+            # ledger replay: the merge committed on a previous run but
+            # the checkpoint didn't advance, so the pairs write may not
+            # have happened — recompute (identical by the WAL-ordering
+            # argument in the docstring) and rewrite idempotently
+            pairs = idx.candidates_for(batch_df, text_col=text_col, id_col=id_col)
+        pairs.write.mode("overwrite").parquet(f"{pairs_dir}/batch_key={key}")
+
+    reader = spark.readStream.schema(
+        T.StructType(
+            list(doc_schema.fields)
+            + [T.StructField("batch_id", T.IntegerType(), True)]
+        )
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    reader = reader.parquet(docs_dir)
+    return (
+        reader.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(stream_name)
+        .trigger(availableNow=True)
+        .start()
+    )
 
 
 def replay_documents_incremental(

@@ -128,3 +128,56 @@ def test_plans_arrow_only(spark, family_docs, tmp_path):
     pairs = idx.add_batch(family_docs, "b0")
     plan = pairs._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_candidates_for_reproduces_committed_batch(spark, family_docs, tmp_path):
+    """The streaming crash-gap recovery path: after a batch's merge
+    committed, candidates_for (no table write) must reproduce the
+    identical pair set while no later batch has merged."""
+    idx = MinHashIndex(spark, str(tmp_path / "idx")).create(num_buckets=4)
+    original = idx.add_batch(family_docs, "b0")
+    want = sorted(map(tuple, original.collect()))
+    assert idx.add_batch(family_docs, "b0") is None  # replay
+    got = sorted(map(tuple, idx.candidates_for(family_docs).collect()))
+    assert got == want
+
+
+def test_dedup_index_stream_end_to_end(spark, family_docs, tmp_path):
+    """Structured-Streaming drain over a 3-batch doc feed: the landed
+    per-batch pair files union to the same set as the batch replay,
+    and a checkpointed restart re-processes nothing."""
+    from replicator_spark.ops.incremental_dedup import run_dedup_index_stream
+
+    feed = str(tmp_path / "feed")
+    # one file per batch (the rate-limited reader's ordering contract)
+    for b, (lo, hi) in enumerate([(0, 4), (4, 101), (101, 200)]):
+        (
+            family_docs.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+            .withColumn("batch_id", F.lit(b))
+            .repartition(1)
+            .write.mode("overwrite")
+            .parquet(f"{feed}/batch_id={b}")
+        )
+    kw = dict(
+        index_root=str(tmp_path / "idx"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        pairs_dir=str(tmp_path / "pairs"),
+    )
+    q = run_dedup_index_stream(spark, feed, **kw)
+    q.awaitTermination(120)
+    got = sorted(
+        map(tuple, spark.read.parquet(str(tmp_path / "pairs")).select("id_a", "id_b").collect())
+    )
+    static = minhash_lsh_candidates(minhash_signatures(family_docs), max_bucket=50)
+    assert got == sorted(map(tuple, static.collect()))
+    idx = MinHashIndex(spark, str(tmp_path / "idx"))
+    v = idx.table._snap().version
+    # restart from the checkpoint: everything is in the WAL — no new
+    # merges, same pairs
+    q2 = run_dedup_index_stream(spark, feed, **kw)
+    q2.awaitTermination(120)
+    assert idx.table._snap().version == v
+    again = sorted(
+        map(tuple, spark.read.parquet(str(tmp_path / "pairs")).select("id_a", "id_b").collect())
+    )
+    assert again == got
