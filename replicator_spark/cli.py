@@ -390,6 +390,51 @@ def cmd_lookup(
     return 0
 
 
+def cmd_dedup_index(args) -> int:
+    """Incremental MinHash dedup index (ops/incremental_dedup) from the
+    command line: ``add`` feeds one id-ordered doc batch (parquet dir
+    or file) through ``MinHashIndex.add_batch`` and lands the batch's
+    candidate pairs under ``--pairs-out``; ``stats`` prints the index
+    accounting. The index lives in a LakeTable, so the ordinary
+    ``compact``/``history``/``expire`` subcommands work on its root."""
+    from .ops.incremental_dedup import MinHashIndex
+    from .session import get_spark
+
+    spark = get_spark("dedup-index")
+    idx = MinHashIndex(
+        spark,
+        args.index_root,
+        num_hashes=args.num_hashes,
+        bands=args.bands,
+        max_bucket=args.max_bucket,
+    )
+    if args.action == "stats":
+        print(json.dumps(idx.stats()))
+        return 0
+    if not idx.table.exists():
+        idx.create()
+    docs = spark.read.parquet(args.docs)
+    pairs = idx.add_batch(
+        docs, args.batch_key, text_col=args.text_col, id_col=args.id_col
+    )
+    if pairs is None:
+        print(json.dumps({"batch_key": args.batch_key, "replayed": True}))
+        return 0
+    n = None
+    if args.pairs_out:
+        out = f"{args.pairs_out}/batch_key={args.batch_key}"
+        pairs.write.mode("overwrite").parquet(out)
+        n = spark.read.parquet(out).count()
+    else:
+        n = pairs.count()
+    print(
+        json.dumps(
+            {"batch_key": args.batch_key, "replayed": False, "pairs": n}
+        )
+    )
+    return 0
+
+
 def cmd_compact(table_root: str, expire_below: int | None, retention: int | None) -> int:
     """Maintenance compaction out of the hot apply path: fold mor delta
     chains into base files; optionally expire tombstones below an
@@ -557,6 +602,20 @@ def main(argv: list[str] | None = None) -> int:
     kp.add_argument("--path", default=None, help="second key column value")
     kp.add_argument("--version", type=int, default=None, help="time travel")
     kp.add_argument("--limit", type=int, default=1000)
+    dp = sub.add_parser(
+        "dedup-index",
+        help="incremental MinHash dedup index over a lake table",
+    )
+    dp.add_argument("action", choices=["add", "stats"])
+    dp.add_argument("--index-root", required=True)
+    dp.add_argument("--docs", default=None, help="parquet dir of the batch (add)")
+    dp.add_argument("--batch-key", default=None, help="ledger key (add)")
+    dp.add_argument("--pairs-out", default=None, help="land pairs under this dir")
+    dp.add_argument("--id-col", default="doc_id")
+    dp.add_argument("--text-col", default="text")
+    dp.add_argument("--num-hashes", type=int, default=128)
+    dp.add_argument("--bands", type=int, default=16)
+    dp.add_argument("--max-bucket", type=int, default=50)
     cp = sub.add_parser("compact")
     cp.add_argument("--table-root", required=True)
     cp.add_argument("--expire-below", type=int, default=None)
@@ -608,6 +667,11 @@ def main(argv: list[str] | None = None) -> int:
         return cmd_lookup(
             args.table_root, args.key, args.path, args.version, args.limit
         )
+    if args.cmd == "dedup-index":
+        if args.action == "add" and (args.docs is None or args.batch_key is None):
+            print("error: dedup-index add needs --docs and --batch-key", file=sys.stderr)
+            return 1
+        return cmd_dedup_index(args)
     if args.cmd == "compact":
         return cmd_compact(args.table_root, args.expire_below, args.tombstone_retention)
     if args.cmd == "history":

@@ -47,6 +47,16 @@ Reference parity: the reference engine dedups per-key via its position
 trackers only; corpus near-dup indexing is an extension op (like
 ops/dedup_text), but the TABLE it rides is the reference's estuary
 surface (``pkg/estuary/*``), so this is the two subsystems composed.
+
+Multi-writer limitation (deliberate): the TABLE tolerates concurrent
+writers (non-partial mor appends rebase over any concurrent commit),
+but the online policy needs a TOTAL arrival order — "earlier" = smaller
+id — so two streams feeding one index concurrently have no well-defined
+pair set, and the arrival-order guard will (racily) reject the writer
+that lands second with interleaved ids. Fan-in deployments should route
+every stream through one indexer (the CDC multi-source pattern:
+namespaced batch keys, one applier), or shard the index per stream and
+cross-join the shards' band rows offline.
 """
 
 from __future__ import annotations

@@ -654,3 +654,35 @@ def test_validate_catches_bad_rules_and_filters(tmp_path):
         "custom_filter": "{op}"}})]) == 1
     assert cli.main(["validate", "--config", _write({"event_filter": {
         "bogus_key": []}})]) == 1
+
+
+def test_dedup_index_add_and_stats(tmp_path, capsys, spark):
+    docs = spark.createDataFrame(
+        [(0, "aaaa bbbb cccc dddd eeee"), (1, "aaaa bbbb cccc dddd eeee"),
+         (2, "zzzz yyyy xxxx wwww vvvv")],
+        "doc_id long, text string",
+    )
+    d0 = str(tmp_path / "b0")
+    docs.write.parquet(d0)
+    root, pairs = str(tmp_path / "idx"), str(tmp_path / "pairs")
+    assert cli.main([
+        "dedup-index", "add", "--index-root", root, "--docs", d0,
+        "--batch-key", "b0", "--pairs-out", pairs,
+    ]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out == {"batch_key": "b0", "replayed": False, "pairs": 1}
+    got = spark.read.parquet(f"{pairs}/batch_key=b0").collect()
+    assert [(r["id_a"], r["id_b"]) for r in got] == [(0, 1)]
+    # replay is a ledger no-op
+    assert cli.main([
+        "dedup-index", "add", "--index-root", root, "--docs", d0,
+        "--batch-key", "b0",
+    ]) == 0
+    assert json.loads(capsys.readouterr().out.strip().splitlines()[-1])[
+        "replayed"
+    ] is True
+    assert cli.main(["dedup-index", "stats", "--index-root", root]) == 0
+    st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert st["batches"] == 1 and st["index_rows"] == 3 * 16
+    # missing args fail loudly
+    assert cli.main(["dedup-index", "add", "--index-root", root]) == 1
