@@ -2652,6 +2652,10 @@ def q_incremental_minhash_dedup(spark, sf_dir):
         bands=8,
         base_hash="sha2_60",
         max_bucket=20,
+        # 8 index buckets at contract scale: 1/4 the per-merge file ops
+        # of the 32-bucket default (same plans, same pairs — bucketing
+        # only shards the layout)
+        num_buckets=8,
     )
 
 

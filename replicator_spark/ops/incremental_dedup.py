@@ -316,6 +316,7 @@ def replay_documents_incremental(
     id_col: str = "doc_id",
     text_col: str = "text",
     stream_name: str = "docs",
+    num_buckets: int = 32,
     **index_kw,
 ) -> DataFrame:
     """Split ``docs`` into contiguous id ranges (arrival order) — at
@@ -328,7 +329,9 @@ def replay_documents_incremental(
     pairs are eagerly materialized (localCheckpoint) before the next
     batch mutates the index — the pair frames must not lazily re-read
     a later snapshot."""
-    idx = MinHashIndex(spark, index_root, **index_kw).create()
+    idx = MinHashIndex(spark, index_root, **index_kw).create(
+        num_buckets=num_buckets
+    )
     lo, hi = docs.agg(F.min(id_col), F.max(id_col)).first()
     if splits is None:
         width = (hi - lo) // n_batches + 1

@@ -181,3 +181,62 @@ def test_dedup_index_stream_end_to_end(spark, family_docs, tmp_path):
         map(tuple, spark.read.parquet(str(tmp_path / "pairs")).select("id_a", "id_b").collect())
     )
     assert again == got
+
+
+@pytest.mark.parametrize("seed", [3, 17, 29])
+def test_online_policy_matches_closed_form_random(spark, tmp_path, seed):
+    """Property: for a random corpus with dup families and a RANDOM
+    id-monotonic batching, the incremental replay equals the closed
+    form of the online policy computed directly over the final corpus
+    (per bucket/doc: ≤ max_bucket earlier members → all pairs, else
+    one star edge to the bucket min)."""
+    import random
+
+    from pyspark.sql import Window
+
+    from replicator_spark.ops.dedup_text import band_rows, minhash_signatures
+
+    rng = random.Random(seed)
+    n_templates, max_bucket = 4, 2
+    templates = [
+        " ".join(f"t{t}w{w:03d}" for w in range(25)) for t in range(n_templates)
+    ]
+    rows = []
+    for i in range(40):
+        if rng.random() < 0.5:
+            rows.append((i, templates[rng.randrange(n_templates)]))
+        else:
+            rows.append((i, " ".join(f"u{i}x{k:03d}" for k in range(25))))
+    docs = _docs(spark, rows)
+    cuts = sorted(rng.sample(range(1, 40), 3))
+    inc = replay_documents_incremental(
+        spark, docs, str(tmp_path / "idx"), splits=cuts,
+        num_hashes=32, bands=4, max_bucket=max_bucket, num_buckets=4,
+    )
+    got = sorted(map(tuple, inc.collect()))
+
+    sigs = minhash_signatures(docs, num_hashes=32)
+    banded = band_rows(sigs, "doc_id", 4)
+    w = Window.partitionBy("band_id", "band_hash")
+    wo = w.orderBy("doc_id")
+    rk = banded.select(
+        "band_id", "band_hash", "doc_id",
+        (F.row_number().over(wo) - 1).alias("n_earlier"),
+        F.min("doc_id").over(w).alias("min_id"),
+    )
+    small = (
+        rk.alias("r")
+        .where((F.col("n_earlier") >= 1) & (F.col("n_earlier") <= max_bucket))
+        .join(
+            banded.alias("a"),
+            (F.col("a.band_id") == F.col("r.band_id"))
+            & (F.col("a.band_hash") == F.col("r.band_hash"))
+            & (F.col("a.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("r.doc_id").alias("id_b"))
+    )
+    star = rk.where(F.col("n_earlier") > max_bucket).select(
+        F.col("min_id").alias("id_a"), F.col("doc_id").alias("id_b")
+    )
+    want = sorted(map(tuple, small.unionByName(star).distinct().collect()))
+    assert got == want
