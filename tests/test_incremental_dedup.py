@@ -240,3 +240,40 @@ def test_online_policy_matches_closed_form_random(spark, tmp_path, seed):
     )
     want = sorted(map(tuple, small.unionByName(star).distinct().collect()))
     assert got == want
+
+
+def test_streamed_pairs_feed_clustering(spark, family_docs, tmp_path):
+    """The composition the pipeline runs at scale: streamed per-batch
+    pair files → connected components → canonical keep set. The star
+    edges of an oversized family must still collapse it to ONE
+    canonical doc."""
+    from replicator_spark.ops.dedup_text import (
+        connected_components,
+        keep_canonical,
+    )
+    from replicator_spark.ops.incremental_dedup import run_dedup_index_stream
+
+    feed = str(tmp_path / "feed")
+    for b, (lo, hi) in enumerate([(0, 102), (102, 200)]):
+        (
+            family_docs.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+            .withColumn("batch_id", F.lit(b))
+            .repartition(1)
+            .write.mode("overwrite")
+            .parquet(f"{feed}/batch_id={b}")
+        )
+    q = run_dedup_index_stream(
+        spark,
+        feed,
+        index_root=str(tmp_path / "idx"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        pairs_dir=str(tmp_path / "pairs"),
+        max_bucket=2,  # force the star path on the 7-copy family
+    )
+    q.awaitTermination(120)
+    pairs = spark.read.parquet(str(tmp_path / "pairs")).select("id_a", "id_b")
+    clusters = connected_components(pairs, family_docs.select("doc_id"))
+    kept = keep_canonical(family_docs, clusters)
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    # family 100..106 collapses to its canonical 100; singles survive
+    assert ids == [0, 1, 2, 3, 4, 5, 6, 7, 100]
