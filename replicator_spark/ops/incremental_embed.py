@@ -49,8 +49,9 @@ rows appended through ordinary mor merges; the candidate join
 shuffles on band_key; the nested-cap window is keyed (band_key,
 new_id) — bounded per new vector by its bucket overlap; the verify
 joins are id-keyed hash joins against the vectors table pruned to
-candidate ids. Batch APIs only — the streaming wrapper pattern of
-``run_dedup_index_stream`` applies verbatim if needed.
+candidate ids. ``run_embed_index_stream`` is the Structured-Streaming
+wrapper (same wiring + crash-gap recovery as
+``incremental_dedup.run_dedup_index_stream``).
 """
 
 from __future__ import annotations
@@ -256,6 +257,20 @@ class EmbeddingIndex:
             .select("id_a", "id_b", "cos")
         )
 
+    def pairs_for(
+        self,
+        vecs: DataFrame,
+        *,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> DataFrame:
+        """Recompute the verified pairs of ALREADY-INDEXED vectors
+        without writing — the streaming crash-gap recovery path
+        (see ``incremental_dedup.MinHashIndex.candidates_for``): valid
+        while no later batch has merged, which the stream's offset WAL
+        guarantees on replay."""
+        return self._verified_pairs(self._prepared(vecs, id_col, vec_col))
+
     def stats(self) -> dict:
         snap = self.bands._snap()
         return {
@@ -265,6 +280,61 @@ class EmbeddingIndex:
             "vectors": self.vectors.read().count(),
             "batches": len(snap.committed_batches),
         }
+
+
+def run_embed_index_stream(
+    spark: SparkSession,
+    vecs_dir: str,
+    index_root: str,
+    checkpoint_dir: str,
+    pairs_dir: str,
+    *,
+    dim: int,
+    stream_name: str = "embed",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_files_per_trigger: int | None = 1,
+    num_buckets: int = 32,
+    **index_kw,
+):
+    """Structured-Streaming form of the embedding index — the same
+    wiring as ``incremental_dedup.run_dedup_index_stream``: tail a
+    partitioned vector feed (``batch_id=N`` dirs, one file per batch
+    under rate limiting, ids ascending), maintain both index tables
+    per micro-batch, land each batch's VERIFIED pairs under
+    ``pairs_dir/batch_key=<k>``. The crash-gap between the merges and
+    the pairs write recovers through ``pairs_for`` (identical result
+    by WAL ordering). Returns the drain-and-stop streaming query."""
+    idx = EmbeddingIndex(spark, index_root, dim=dim, **index_kw)
+    if not idx.exists():
+        idx.create(num_buckets=num_buckets)
+
+    def _apply(batch_df, batch_id: int):
+        key = f"{stream_name}-{batch_id}"
+        pairs = idx.add_batch(batch_df, key, id_col=id_col, vec_col=vec_col)
+        if pairs is None:
+            pairs = idx.pairs_for(batch_df, id_col=id_col, vec_col=vec_col)
+        pairs.write.mode("overwrite").parquet(f"{pairs_dir}/batch_key={key}")
+
+    reader = spark.readStream.schema(
+        T.StructType(
+            [
+                T.StructField(id_col, T.LongType()),
+                T.StructField(vec_col, T.ArrayType(T.FloatType())),
+                T.StructField("batch_id", T.IntegerType(), True),
+            ]
+        )
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    reader = reader.parquet(vecs_dir)
+    return (
+        reader.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(stream_name)
+        .trigger(availableNow=True)
+        .start()
+    )
 
 
 def replay_embeddings_incremental(

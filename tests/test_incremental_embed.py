@@ -125,3 +125,40 @@ def test_plans_arrow_only(spark, planted, tmp_path):
     pairs = idx.add_batch(planted, "b0")
     plan = pairs._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_embed_stream_end_to_end(spark, planted, tmp_path):
+    """Streaming drain over a 2-batch vector feed: landed pair files
+    equal the batch replay, and a checkpointed restart re-merges
+    nothing."""
+    from replicator_spark.ops.incremental_embed import run_embed_index_stream
+
+    feed = str(tmp_path / "feed")
+    for b, (lo, hi) in enumerate([(0, 45), (45, 2000)]):
+        (
+            planted.where((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
+            .withColumn("batch_id", F.lit(b))
+            .repartition(1)
+            .write.mode("overwrite")
+            .parquet(f"{feed}/batch_id={b}")
+        )
+    kw = dict(
+        index_root=str(tmp_path / "idx"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        pairs_dir=str(tmp_path / "pairs"),
+        dim=DIM,
+        num_buckets=4,
+    )
+    q = run_embed_index_stream(spark, feed, **kw)
+    q.awaitTermination(120)
+    got = sorted(
+        (r["id_a"], r["id_b"])
+        for r in spark.read.parquet(str(tmp_path / "pairs")).collect()
+    )
+    exact = cosine_near_dup_blocked(planted, threshold=0.95)
+    assert got == sorted((r["id_a"], r["id_b"]) for r in exact.collect())
+    idx = EmbeddingIndex(spark, str(tmp_path / "idx"), dim=DIM)
+    v = idx.bands._snap().version
+    q2 = run_embed_index_stream(spark, feed, **kw)
+    q2.awaitTermination(120)
+    assert idx.bands._snap().version == v
