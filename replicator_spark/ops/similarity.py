@@ -201,7 +201,13 @@ def _lsh_keys_udf(dim: int, bits: int, num_tables: int, seed: int):
         m = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
         if m.size == 0:
             return pd.Series([], dtype=object)
-        signs = (m @ planes) > 0  # (n, bits·tables)
+        # Round the projection to a fixed grid before the sign: BLAS
+        # summation order varies with the batch's matrix shape, so an
+        # EXACTLY-zero projection (e.g. an all-equal vector against a
+        # sign-balanced plane) would otherwise flip its bit per batch —
+        # identical vectors must hash identically or an exact-dup pile
+        # splits buckets nondeterministically (test_incremental_embed).
+        signs = np.round(m @ planes, 9) > 0  # (n, bits·tables)
         packed = np.zeros((len(m), num_tables), dtype=np.int64)
         for t in range(num_tables):
             sel = table_of == t
