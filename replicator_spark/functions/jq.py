@@ -53,9 +53,9 @@ fail-loud, never silently wrong):
 Deliberately out of scope (all raise): stream iteration ``.[]`` and
 ``,`` streams (they change cardinality — that is ``explode``, not a
 projection), ``reduce`` / ``foreach``, ``as`` bindings, function
-definitions, ``sub`` (jq's first-match-only; use ``gsub``), and the
-``lua`` / ``javascript`` engine types the reference also only declares
-(those genuinely need interpreters and stay descoped — SURVEY §7.4).
+definitions, ``sub`` (jq's first-match-only; use ``gsub``). The ``lua``
+/ ``javascript`` engine types the reference also only declares are
+executed the same way by ``functions/lua.py`` / ``functions/js.py``.
 
 jq-vs-Spark numeric note: jq has one number type (float); this subset
 keeps Spark's integer arithmetic for ``+ - * %`` (so long columns stay

@@ -17,11 +17,13 @@ computed-field enrichment of ``examples/configs/
 multi-source-aggregation.yaml:97-106``):
 
 shift, default, set, concat, extract, delete, pass, timestamp, uuid,
-computed (year/month/tier via when-chains supplied as Column), and
-``jq`` — the engine type ``models.go:30,59`` / ``validation.go:246``
-declare but never execute, here compiled to Column expressions by
-``functions.jq`` (the program's final object is the new payload, same
-contract as kazaam shift; see that module for the supported subset).
+computed (year/month/tier via when-chains supplied as Column), plus the
+THREE engine types ``models.go:30,59`` / ``validation.go:246`` declare
+but never execute — ``jq``, ``lua``, ``javascript`` — here compiled to
+Column expressions by ``functions.jq`` / ``functions.lua`` /
+``functions.js`` (the program's final object/table is the new payload,
+same contract as kazaam shift; see each module for its supported
+subset and per-language null/nil semantics).
 
 Conditions: exists / not_exists / eq / ne / gt / lt / gte / lte /
 contains / in / nin / regex over dot-paths (``engine.go:411-508``,
@@ -143,6 +145,22 @@ def _apply_action(
                 "conditions (or a validate predicate), not inside an action"
             )
         return dict(cols) if compiled.columns is None else dict(compiled.columns)
+    if t in ("lua", "javascript"):
+        # the other two declared-only engine types (models.go:30,59);
+        # same contract as jq: the program's returned table/object is
+        # the new payload, compiled driver-side to Column expressions
+        if typer is None:
+            raise ValueError(
+                f"{t} action needs the engine's schema context; use "
+                f"TransformEngine.apply or functions.{'lua' if t == 'lua' else 'js'}"
+                f".{'lua' if t == 'lua' else 'js'}_transform directly"
+            )
+        if t == "lua":
+            from .functions.lua import compile_program as _compile
+        else:
+            from .functions.js import compile_program as _compile
+        compiled = _compile(s["script"], typer(cols), cols)
+        return dict(compiled.columns)
     if t == "shift":
         # kazaam shift: output doc = exactly the spec's projection
         # ({"output": "input"} — pkg/transform/kazaam_test.go:10-48)
@@ -236,8 +254,9 @@ class TransformEngine:
     def _validate_rule(self, r: Rule) -> None:
         for a in r.actions:
             if a.type not in (
-                "pass", "shift", "default", "set", "concat",
-                "extract", "delete", "timestamp", "uuid", "computed", "jq",
+                "pass", "shift", "default", "set", "concat", "extract",
+                "delete", "timestamp", "uuid", "computed", "jq", "lua",
+                "javascript",
             ):
                 raise ValueError(f"rule {r.name}: unknown action {a.type}")
             if a.type == "jq":
@@ -249,6 +268,16 @@ class TransformEngine:
                 if "query" not in a.spec:
                     raise ValueError(f"rule {r.name}: jq action needs spec['query']")
                 _jq_parse(a.spec["query"])
+            if a.type in ("lua", "javascript"):
+                if "script" not in a.spec:
+                    raise ValueError(
+                        f"rule {r.name}: {a.type} action needs spec['script']"
+                    )
+                if a.type == "lua":
+                    from .functions.lua import parse as _parse
+                else:
+                    from .functions.js import parse as _parse
+                _parse(a.spec["script"])
         if r.error_policy not in ("fail_fast", "skip", "dead_letter", "continue"):
             raise ValueError(f"rule {r.name}: unknown error policy {r.error_policy}")
 
