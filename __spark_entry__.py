@@ -460,6 +460,98 @@ WHERE o_totalprice > 100000
 """
 
 
+def q_transform_lua_engine(spark, sf_dir):
+    """The Lua transform engine (T-engines): ``pkg/transform/models.go:30,59``
+    accepts ``engine: "lua"`` but the reference never links an interpreter
+    (no gopher-lua in the tree). ``functions/lua.py`` compiles the Lua-5.4
+    expression subset ONCE, driver-side, into native Column expressions.
+    This program exercises ``..`` concat with tostring, ``//`` floor
+    division, Lua's FLOORED ``%`` on negative dividends (sign follows the
+    divisor — not SQL's truncated remainder), the ``cond and x or y``
+    idiom (value semantics), ``string.sub`` with negative indexes,
+    ``string.lower``, ``#`` length, ``math.floor``, and ``~=``."""
+    from replicator_spark.functions.lua import lua_transform
+
+    cust = _load(spark, sf_dir, "customer")
+    program = """
+    return {
+      c_custkey = row.c_custkey,
+      tag = "cust-" .. row.c_custkey,
+      seg = string.lower(row.c_mktsegment),
+      name_tail = string.sub(row.c_name, -3),
+      name_len = #row.c_name,
+      cohort = row.c_custkey // 100,
+      shard = (row.c_nationkey - 12) % 5,
+      standing = row.c_acctbal >= 0 and "solvent" or "debt",
+      bal_floor = math.floor(row.c_acctbal),
+      foreign = row.c_nationkey ~= 0,
+    }
+    """
+    return lua_transform(cust, program)
+
+
+SQL_transform_lua_engine = """
+SELECT c_custkey,
+       'cust-' || CAST(c_custkey AS VARCHAR) AS tag,
+       lower(c_mktsegment) AS seg,
+       substr(c_name, length(c_name) - 2) AS name_tail,
+       CAST(length(c_name) AS INTEGER) AS name_len,
+       CAST(FLOOR(c_custkey / 100.0) AS BIGINT) AS cohort,
+       CAST((c_nationkey - 12) - 5 * FLOOR((c_nationkey - 12) / 5.0) AS INTEGER)
+         AS shard,
+       CASE WHEN c_acctbal >= 0 THEN 'solvent' ELSE 'debt' END AS standing,
+       CAST(FLOOR(c_acctbal) AS BIGINT) AS bal_floor,
+       c_nationkey <> 0 AS foreign
+FROM customer
+"""
+
+
+def q_transform_js_engine(spark, sf_dir):
+    """The JavaScript transform engine + CustomFilter predicate
+    (T-engines / ``pkg/models/types.go:226``): the reference declares
+    ``engine: "javascript"`` and a JS-expression CustomFilter but never
+    links an interpreter (no goja/otto). ``functions/js.py`` compiles
+    both ONCE, driver-side, to native Column expressions — the
+    CustomFilter becomes one WHERE (pushed to the scan), the returned
+    object the projection. Exercises template literals, strict
+    ``===``/``!==``, ternary, ``Math.round`` (half-toward-+∞),
+    ``Math.min``/``floor``, truncated ``%``, ``.toLowerCase``,
+    ``.slice``, and ``&&`` in the predicate."""
+    from replicator_spark.functions.js import compile_predicate, js_transform
+
+    li = _load(spark, sf_dir, "lineitem")
+    pred = compile_predicate(
+        "row.l_quantity >= 30 && row.l_extendedprice < 60000", li.schema
+    )
+    program = """
+    return {
+      key: `${row.l_orderkey}-${row.l_linenumber}`,
+      kept: row.l_returnflag !== "R",
+      status: row.l_linestatus === "O" ? "open" : "final",
+      disc_pct: Math.round(row.l_discount * 100),
+      qty7: row.l_orderkey % 7,
+      value_band: Math.min(Math.floor(row.l_extendedprice / 10000), 5),
+      flag: row.l_returnflag.toLowerCase(),
+      head: (row.l_returnflag + row.l_linestatus).slice(-1),
+    }
+    """
+    return js_transform(li.where(pred), program)
+
+
+SQL_transform_js_engine = """
+SELECT CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR) AS key,
+       l_returnflag <> 'R' AS kept,
+       CASE WHEN l_linestatus = 'O' THEN 'open' ELSE 'final' END AS status,
+       CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT) AS disc_pct,
+       CAST(l_orderkey % 7 AS DOUBLE) AS qty7,
+       LEAST(FLOOR(l_extendedprice / 10000), 5.0) AS value_band,
+       lower(l_returnflag) AS flag,
+       substr(l_returnflag || l_linestatus, 2, 1) AS head
+FROM lineitem
+WHERE l_quantity >= 30 AND l_extendedprice < 60000
+"""
+
+
 def q_extjson_decode(spark, sf_dir):
     """Mongo Extended-JSON scalar decode (S4, ``mongo.go:140-220``):
     wrap feed values as $oid/$numberLong/$numberDouble, decode through
@@ -3251,6 +3343,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decimal_generated_column": q_decimal_generated_column,
         "transform_engine_chain": q_transform_engine_chain,
         "transform_jq_engine": q_transform_jq_engine,
+        "transform_lua_engine": q_transform_lua_engine,
+        "transform_js_engine": q_transform_js_engine,
         "extjson_decode": q_extjson_decode,
         "filter_regex_in": q_filter_regex_in,
         "source_mysql_normalize": q_source_mysql_normalize,
@@ -3331,6 +3425,8 @@ def oracle_sql() -> dict[str, str]:
         "decimal_generated_column": SQL_decimal_generated_column,
         "transform_engine_chain": SQL_transform_engine_chain,
         "transform_jq_engine": SQL_transform_jq_engine,
+        "transform_lua_engine": SQL_transform_lua_engine,
+        "transform_js_engine": SQL_transform_js_engine,
         "extjson_decode": SQL_extjson_decode,
         "filter_regex_in": SQL_filter_regex_in,
         "source_mysql_normalize": SQL_source_mysql_normalize,

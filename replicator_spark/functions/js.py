@@ -653,6 +653,11 @@ class _Compiler:
         l = self._scalar(self.compile(ln, inp), "||")
         r = self._scalar(self.compile(rn, inp), "||")
         self._mixed_check(l, r, "||")
+        if l.nn and r.nn and _cat(l.dtype) == "boolean" \
+                and _cat(r.dtype) == "boolean":
+            # both non-null booleans: plain OR (true || b ≡ true,
+            # false || b ≡ b) — stays pushable
+            return _Val(l.col | r.col, _BOOL, nn=True)
         dt = l.dtype if _cat(l.dtype) == _cat(r.dtype) else (l.dtype or r.dtype)
         return _Val(F.when(_truthy(l), l.col).otherwise(r.col), dt, nn=r.nn)
 
@@ -660,6 +665,11 @@ class _Compiler:
         l = self._scalar(self.compile(node[1], inp), "&&")
         r = self._scalar(self.compile(node[2], inp), "&&")
         self._mixed_check(l, r, "&&")
+        if l.nn and r.nn and _cat(l.dtype) == "boolean" \
+                and _cat(r.dtype) == "boolean":
+            # both non-null booleans: value semantics collapse to plain
+            # AND (true && b ≡ b, false && b ≡ false) — stays pushable
+            return _Val(l.col & r.col, _BOOL, nn=True)
         dt = l.dtype if _cat(l.dtype) == _cat(r.dtype) else (r.dtype or l.dtype)
         return _Val(F.when(_truthy(l), r.col).otherwise(l.col), dt, nn=l.nn and r.nn)
 
@@ -684,6 +694,18 @@ class _Compiler:
         expr = l.col.eqNullSafe(r.col)
         return _Val(expr if op == "===" else ~expr, _BOOL, nn=True)
 
+    @staticmethod
+    def _num_const(node) -> float | None:
+        """The Python value of a numeric-literal AST node (incl. unary
+        minus), else None."""
+        if node[0] == "lit" and isinstance(node[1], (int, float)) \
+                and not isinstance(node[1], bool):
+            return float(node[1])
+        if node[0] == "neg":
+            inner = _Compiler._num_const(node[1])
+            return None if inner is None else -inner
+        return None
+
     def _c_rel(self, node, inp):
         _, op, ln, rn = node
         l = self._scalar(self.compile(ln, inp), op)
@@ -694,6 +716,27 @@ class _Compiler:
             cmp = {"<": l.col < r.col, "<=": l.col <= r.col,
                    ">": l.col > r.col, ">=": l.col >= r.col}[op]
             return _Val(l.col.isNotNull() & r.col.isNotNull() & cmp, _BOOL, nn=True)
+        # Pushdown-friendly form: a plain numeric column vs a numeric
+        # literal folds the null→0 coercion into isNull/isNotNull algebra
+        # instead of a coalesce() the parquet scan cannot push — same
+        # results bit-for-bit, but the comparison reaches PushedFilters
+        # (the jq engine's approach — see functions/jq.py's null-order
+        # note; Spark's UnwrapCastInBinaryComparison then strips the
+        # widening cast so the raw column predicate lands on the scan).
+        import operator as _pyop
+        _OPS = {"<": _pyop.lt, "<=": _pyop.le, ">": _pyop.gt, ">=": _pyop.ge}
+        for col_v, const in ((l, self._num_const(rn)), (r, self._num_const(ln))):
+            if const is None or not isinstance(col_v.dtype, T.NumericType) \
+                    or col_v.known_undef:
+                continue
+            a, b = (col_v.col.cast("double"), F.lit(const))
+            raw = _OPS[op](a, b) if col_v is l else _OPS[op](b, a)
+            if col_v.nn:
+                return _Val(raw, _BOOL, nn=True)
+            null_res = _OPS[op](0.0, const) if col_v is l else _OPS[op](const, 0.0)
+            if null_res:
+                return _Val(col_v.col.isNull() | raw, _BOOL, nn=True)
+            return _Val(col_v.col.isNotNull() & raw, _BOOL, nn=True)
         ln_, rn_ = self._to_number(l), self._to_number(r)
         cmp = {"<": ln_.col < rn_.col, "<=": ln_.col <= rn_.col,
                ">": ln_.col > rn_.col, ">=": ln_.col >= rn_.col}[op]
@@ -1014,7 +1057,9 @@ def compile_predicate(program: str, schema: T.StructType) -> Column:
     if out.is_obj:
         raise JsError("predicate must be a boolean expression, not the row")
     if isinstance(out.dtype, T.BooleanType):
-        return F.coalesce(out.col, F.lit(False))
+        # a statically non-null boolean skips the coalesce wrapper —
+        # coalesce() at the top would block parquet filter pushdown
+        return out.col if out.nn else F.coalesce(out.col, F.lit(False))
     return _truthy(out)
 
 

@@ -38,6 +38,16 @@ def test_jq_select_pushed_to_scan(spark):
     assert "GreaterThan(o_totalprice,100000.0)" in plan.replace(" ", ""), plan[:2000]
 
 
+def test_js_custom_filter_pushed_to_scan(spark):
+    """The JS CustomFilter predicate (types.go:226) compiles to native
+    comparisons that must reach the parquet scan."""
+    plan = _plan(entry.q_transform_js_engine(spark, SF))
+    assert "PushedFilters: [" in plan
+    flat = plan.replace(" ", "")
+    assert "GreaterThanOrEqual(l_quantity,30.0)" in flat, plan[:2000]
+    assert "LessThan(l_extendedprice,60000.0)" in flat, plan[:2000]
+
+
 def test_projection_pruning_reaches_scan(spark):
     plan = _plan(entry.q_transform_shift_rename(spark, SF))
     # only the needed columns are read
@@ -77,6 +87,7 @@ def test_no_python_eval_in_cdc_queries(spark):
         "transform_shift_rename", "lookup_join_enrich", "knn_bruteforce",
         "text_quality_ops", "lang_id",
         "transform_engine_chain", "transform_jq_engine", "filter_regex_in",
+        "transform_lua_engine", "transform_js_engine",
         "cdc_event_filter", "cdc_point_lookup",
         "decimal_generated_column", "source_cosmos_normalize",
         "boilerplate_lines", "dataset_split", "pii_redaction",

@@ -209,6 +209,27 @@ class TestJs:
         assert r1["lt"] is False          # null < 'z' -> false (NaN path)
         assert r3["lt"] is True
 
+    def test_rel_null_number_vs_literal(self, spark):
+        """JS Number(null)=0 in comparisons — preserved bit-for-bit by
+        the pushdown isNull/isNotNull algebra (a nullable numeric column
+        vs a literal): null < 5 is true, null >= 30 is false."""
+        d = spark.createDataFrame(
+            [(1, None), (2, 40.0), (3, 10.0)], "id long, v double"
+        )
+        out = js_transform(
+            d, "({ id: row.id, lo: row.v < 5, hi: row.v >= 30, neg: row.v > -1 })"
+        )
+        r1 = _one(out, id=1)
+        assert r1["lo"] is True    # Number(null) = 0 < 5
+        assert r1["hi"] is False   # 0 >= 30
+        assert r1["neg"] is True   # 0 > -1 (unary-minus literal path)
+        kept = d.where(compile_predicate("row.v >= 30", d.schema)).collect()
+        assert [r["id"] for r in kept] == [2]
+        both = d.where(
+            compile_predicate("row.v < 5 || row.v >= 30", d.schema)
+        ).collect()
+        assert sorted(r["id"] for r in both) == [1, 2]
+
     def test_numeric_null_is_zero(self, df):
         out = js_transform(
             df, "({ id: row.id, v: row.flag === null ? 1 : 0, z: null + 5 })"
