@@ -46,9 +46,10 @@ class JobConfig:
     transform_rules: list[dict] = field(default_factory=list)
     # reference EventFilter (pkg/models/types.go:218-227): operation /
     # database / collection include-exclude, field_filters, and
-    # custom_filter — a jq boolean expression here (documented
-    # divergence; the reference's "JavaScript expression" is never
-    # evaluated upstream). See filters.EventFilter.
+    # custom_filter — a jq boolean expression by default, or the
+    # reference's declared "JavaScript expression" shape with
+    # custom_filter_lang: "javascript" (both compile driver-side to
+    # Column exprs). See filters.EventFilter.
     event_filter: dict | None = None
     enabled: bool = True
     # re-read the config file between micro-batches and apply changes on

@@ -12,11 +12,14 @@ applied to the RAW feed before normalization, so Catalyst pushes the
 scalar clauses into the parquet scan of the feed (pinned in
 test_plan_quality.py).
 
-DIVERGENCE (documented, same rationale as SURVEY §7.4): ``custom_filter``
-takes a **jq** boolean expression (compiled to Column exprs by
-``functions.jq``), not JavaScript — a JS engine would mean per-event
-interpretation, the row-at-a-time path this engine bans. The reference
-never executed its JS string either, so no behavior is lost.
+``custom_filter`` languages: the default is a **jq** boolean expression
+(compiled to Column exprs by ``functions.jq``); set
+``custom_filter_lang: "javascript"`` for the reference's declared
+JavaScript-expression shape (``types.go:226``), compiled the same
+driver-side way by ``functions.js.compile_predicate`` — never a
+per-event interpreter. (The reference never executed its JS string;
+here both languages run as native Column predicates and the scalar
+clauses stay pushable to the scan.)
 
 Field resolution for ``FieldFilter.field``:
 
@@ -56,7 +59,8 @@ class EventFilter:
     include_collections: list[str] | None = None
     exclude_collections: list[str] | None = None
     field_filters: list[FieldFilter] = dc_field(default_factory=list)
-    custom_filter: str | None = None  # jq boolean expression (divergence)
+    custom_filter: str | None = None  # boolean expression (lang below)
+    custom_filter_lang: str = "jq"    # "jq" (default) | "javascript"
 
     @staticmethod
     def from_dict(d: dict) -> "EventFilter":
@@ -74,6 +78,7 @@ class EventFilter:
             "include_operations", "exclude_operations",
             "include_databases", "exclude_databases",
             "include_collections", "exclude_collections", "custom_filter",
+            "custom_filter_lang",
         }
         unknown = set(d) - allowed
         if unknown:
@@ -93,7 +98,12 @@ class EventFilter:
                 errs.append(
                     f"field_filters[{ff.field}]: unknown operator {ff.operator!r}"
                 )
-        if self.custom_filter:
+        if self.custom_filter_lang not in ("jq", "javascript"):
+            errs.append(
+                f"custom_filter_lang: unknown language "
+                f"{self.custom_filter_lang!r} (jq | javascript)"
+            )
+        elif self.custom_filter and self.custom_filter_lang == "jq":
             from .functions.jq import JqError
             from .functions.jq import parse as jq_parse
 
@@ -106,6 +116,19 @@ class EventFilter:
                         "not a projection"
                     )
             except JqError as e:
+                errs.append(f"custom_filter: {e}")
+        elif self.custom_filter:
+            from .functions.js import JsError
+            from .functions.js import parse as js_parse
+
+            try:
+                ast = js_parse(self.custom_filter.strip())
+                if ast[0] == "obj":
+                    errs.append(
+                        "custom_filter must be a boolean JS expression, "
+                        "not an object literal"
+                    )
+            except JsError as e:
                 errs.append(f"custom_filter: {e}")
         return errs
 
@@ -156,7 +179,14 @@ class EventFilter:
                 preds.append(~F.coalesce(F.col(col).isin(*vals), F.lit(False)))
         for ff in self.field_filters:
             preds.append(self._field_pred(ff))
-        if self.custom_filter:
+        if self.custom_filter and self.custom_filter_lang == "javascript":
+            # the reference's declared shape (types.go:226) — compiled
+            # driver-side to one Column; JS truthiness on non-booleans
+            from .functions.js import compile_predicate
+
+            preds.append(compile_predicate(self.custom_filter.strip(),
+                                           CHANGE_SCHEMA))
+        elif self.custom_filter:
             from .functions.jq import JqError, compile_program
             from .functions.jq import parse as jq_parse
 

@@ -80,6 +80,38 @@ def test_custom_filter_jq(spark, events):
         EventFilter(custom_filter="{op}").predicate()
 
 
+def test_custom_filter_javascript(spark, events):
+    """types.go:226 declares CustomFilter as a JavaScript expression —
+    custom_filter_lang='javascript' runs exactly that shape, compiled
+    driver-side (functions/js.py), JS truthiness included."""
+    from replicator_spark.functions.js import JsError
+
+    f = EventFilter(
+        custom_filter='row.op === "insert" && row.seq > 500',
+        custom_filter_lang="javascript",
+    )
+    want = events.where((F.col("op") == "insert") & (F.col("seq") > 500)).count()
+    assert f.apply(events).count() == want > 0
+    # JS truthiness: a string-valued expression keeps non-empty rows
+    f2 = EventFilter(custom_filter="row.db", custom_filter_lang="javascript")
+    want2 = events.where(F.col("db").isNotNull() & (F.length("db") > 0)).count()
+    assert f2.apply(events).count() == want2 > 0
+    with pytest.raises(JsError, match="boolean expression"):
+        EventFilter(
+            custom_filter="({ op: row.op })", custom_filter_lang="javascript"
+        ).predicate()
+    # structural validate() catches language typos and bad programs
+    assert EventFilter(
+        custom_filter="row.op", custom_filter_lang="js"
+    ).validate()
+    assert EventFilter(
+        custom_filter="row.op ==", custom_filter_lang="javascript"
+    ).validate()
+    assert not EventFilter(
+        custom_filter='row.op === "insert"', custom_filter_lang="javascript"
+    ).validate()
+
+
 def test_clauses_conjoin(spark, events):
     f = EventFilter(
         include_operations=["insert", "update"],
