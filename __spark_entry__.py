@@ -2805,6 +2805,85 @@ SELECT id_a, id_b FROM (SELECT * FROM small UNION SELECT * FROM star)
 SQL_incremental_minhash_dedup = _sql_incremental_minhash_dedup()
 
 
+def q_incremental_embedding_dedup(spark, sf_dir):
+    """Incremental EMBEDDING near-dup detection riding the CDC lake
+    tables (ops/incremental_embed.EmbeddingIndex — the vector twin of
+    ``incremental_minhash_dedup``): near-dup families are planted
+    in-query over the near-orthogonal corpus (every vec_id % 10 == 0
+    vector gets a copy at id+100000 perturbed +0.05 on element 0, every
+    % 20 == 0 a second copy at id+200000 at +0.07 — true cos ≥ ~0.997,
+    background ≤ ~0.51), then the corpus arrives as FOUR id-ordered
+    batches (base halves, then the d1 copies, then the d2 copies). Each
+    batch mor-merges into the two index LakeTables (vectors once +
+    sign-projection band rows, ledger idempotence, CAS commit), joins
+    against the standing band index for candidates, and exact-cosine
+    VERIFIES (≥ 0.95) against the vectors table — so emitted pairs are
+    near-dups, not candidates, and the oracle can be the EXACT
+    all-pairs closure: hash-equality proves the four merges, the four
+    snapshot reads, the candidate join, and the verify land on exactly
+    the all-pairs truth, i.e. index recall 1.0 on this corpus.
+    16 projection tables drive the per-pair direct-hit miss below
+    1e-12 at the planted margins (no CC here to add path redundancy —
+    every pair must be caught directly); max_bucket=500 keeps the
+    contract run on the verify-all cap branch (the refinement-split /
+    exact-pile star branches are pinned in test_incremental_embed.py,
+    where the oracle-side policy is replicable)."""
+    from replicator_spark.ops.incremental_embed import (
+        replay_embeddings_incremental,
+    )
+
+    emb = _load(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = emb.select("vec_id", v.alias("v"))
+    perturb = lambda off: F.concat(  # noqa: E731
+        F.array(F.col("v")[0] + F.lit(off)), F.slice(F.col("v"), 2, 63)
+    )
+    d1 = base.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), perturb(0.05).alias("v")
+    )
+    d2 = base.where(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 200000).alias("vec_id"), perturb(0.07).alias("v")
+    )
+    aug = base.unionByName(d1).unionByName(d2)
+    mid = int(base.selectExpr("percentile(vec_id, 0.5) as m").first()[0])
+    tmp = _scratch("emb_incr")
+    return replay_embeddings_incremental(
+        spark,
+        aug,
+        f"{tmp}/index",
+        dim=64,
+        splits=[mid, 100000, 200000],
+        vec_col="v",
+        num_tables=16,
+        max_bucket=500,
+        num_buckets=8,
+    )
+
+
+SQL_incremental_embedding_dedup = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+aug AS (
+  SELECT vec_id, v FROM e
+  UNION ALL
+  SELECT vec_id + 100000, list_prepend(v[1] + 0.05, v[2:]) FROM e
+  WHERE vec_id % 10 = 0
+  UNION ALL
+  SELECT vec_id + 200000, list_prepend(v[1] + 0.07, v[2:]) FROM e
+  WHERE vec_id % 20 = 0
+),
+n AS (
+  -- mirror the index numerics exactly: normalize THEN dot
+  SELECT vec_id,
+         list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS v
+  FROM aug
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.v, b.v), 4) AS cos
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v), 4) >= 0.95
+"""
+
+
 # -- non-SQL-expressible ops (driver records rows-only checks) --------------
 
 
@@ -3381,6 +3460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_kmeans": q_embedding_kmeans,
         "semdedup": q_semdedup,
         "incremental_minhash_dedup": q_incremental_minhash_dedup,
+        "incremental_embedding_dedup": q_incremental_embedding_dedup,
         "decontaminate": q_decontaminate,
         "repetition_filter": q_repetition_filter,
         "doc_chunking": q_doc_chunking,
@@ -3463,6 +3543,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_kmeans": SQL_embedding_kmeans,
         "semdedup": SQL_semdedup,
         "incremental_minhash_dedup": SQL_incremental_minhash_dedup,
+        "incremental_embedding_dedup": SQL_incremental_embedding_dedup,
         "decontaminate": SQL_decontaminate,
         "repetition_filter": SQL_repetition_filter,
         "simhash_dedup": SQL_simhash_dedup,
