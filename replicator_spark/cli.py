@@ -72,6 +72,11 @@ class JobConfig:
     serve_port: int | None = None
     serve_host: str = "127.0.0.1"
     serve_auth_tokens: list[str] = field(default_factory=list)
+    # outbound Azure Entra credentials (pkg/auth AzureEntraConfig,
+    # models.go:17-24) for Entra-protected sources/sinks — validated at
+    # config load like the rules/filters; tokens are acquired lazily
+    # by auth.AzureEntraProvider (driver-side, never in a Spark plan)
+    auth: dict | None = None
 
     @staticmethod
     def from_dict(d: dict) -> "JobConfig":
@@ -113,6 +118,16 @@ class JobConfig:
                 errs.extend(f"event_filter: {e}" for e in ef.validate())
             except Exception as e:  # noqa: BLE001
                 errs.append(f"event_filter: {e}")
+        if self.auth:
+            try:
+                from .auth import EntraConfig
+
+                errs.extend(
+                    f"auth: {e}"
+                    for e in EntraConfig.from_dict(self.auth).validate()
+                )
+            except Exception as e:  # noqa: BLE001
+                errs.append(f"auth: {e}")
         return errs
 
 
