@@ -244,11 +244,12 @@ class AzureEntraProvider:
         try:
             creds = self._request_with_retry(scopes)
         except Exception:
-            self.metrics.record(False, time.monotonic() - t0, False)
+            with self._lock:
+                self.metrics.record(False, time.monotonic() - t0, False)
             raise
         with self._lock:
             self._cache[key] = creds
-        self.metrics.record(True, time.monotonic() - t0, True)
+            self.metrics.record(True, time.monotonic() - t0, True)
         return creds
 
     def _request_with_retry(self, scopes: tuple[str, ...]) -> Credentials:
