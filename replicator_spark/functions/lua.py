@@ -68,7 +68,12 @@ a projection), metatables, ``..`` varargs.
 Numeric note: Lua 5.4 integer arithmetic wraps at 2^63 exactly like
 Spark longs; ``//`` here routes through a double (2^53 exactness
 bound, documented above) because Spark's integer ``/`` is already
-float.
+float. One typed-column divergence from dynamic Lua: a conditional
+whose branches mix integer and float (``cond and 2 or x/2.0``) takes
+the unified column type double, so the integer branch renders as
+``"2.0"`` through ``tostring``/``..`` where Lua 5.4 would keep the
+integer subtype and print ``"2"`` (pinned by
+tests/test_lua_differential.py, which models the unification).
 """
 
 from __future__ import annotations
