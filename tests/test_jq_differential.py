@@ -51,12 +51,15 @@ def frame(spark):
                 rng.choice(["", "a", "ab", "b", "ca"]),  # t: string
                 rng.choice([None, True, False]),  # f: boolean?
                 rng.choice([True, False]),  # g: boolean
+                None
+                if rng.random() < 0.2
+                else [rng.randrange(-5, 6) for _ in range(rng.randrange(5))],
             )
         )
     return spark.createDataFrame(
         rows,
         "id long, a long, b long, c long, d double, e double, "
-        "s string, t string, f boolean, g boolean",
+        "s string, t string, f boolean, g boolean, xs array<long>",
     ).cache()
 
 
@@ -262,18 +265,146 @@ class Gen:
             )
         return self.boolean(depth)
 
+    # element-level numeric expression for map()/any(f)/all(f) bodies:
+    # '.' is the (non-null long) array element
+    def elem_num(self, depth: int):
+        r = self.rng
+        if depth <= 0 or r.random() < 0.5:
+            if r.randrange(2) == 0:
+                return ".", lambda x: x
+            k = r.randrange(0, 5)
+            return str(k), lambda x, k=k: k
+        op = r.choice(["+", "-", "*"])
+        ls, lf = self.elem_num(depth - 1)
+        rs, rf = self.elem_num(depth - 1)
+
+        def fn(x, lf=lf, rf=rf, op=op):
+            lv, rv = lf(x), rf(x)
+            return lv + rv if op == "+" else (lv - rv if op == "-" else lv * rv)
+
+        return f"({ls} {op} {rs})", fn
+
+    def elem_pred(self):
+        r = self.rng
+        op = r.choice(["==", "!=", "<", "<=", ">", ">="])
+        ls, lf = self.elem_num(1)
+        rs, rf = self.elem_num(1)
+        return (
+            f"({ls} {op} {rs})",
+            lambda x, lf=lf, rf=rf, op=op: _cmp(op, lf(x), rf(x)),
+        )
+
+    # array-valued expressions over the (nullable) xs column; Spark's
+    # HOFs null-propagate a null array, which the reference mirrors
+    def arr(self, depth: int):
+        r = self.rng
+        roll = r.random()
+        if depth <= 0 or roll < 0.3:
+            return ".xs", lambda row: row["xs"]
+        if roll < 0.55:
+            bs, bf = self.elem_num(depth - 1)
+            ss, sf = self.arr(depth - 1)
+            return (
+                f"({ss} | map({bs}))",
+                lambda row, sf=sf, bf=bf: None
+                if sf(row) is None
+                else [bf(x) for x in sf(row)],
+            )
+        name, pyfn = r.choice(
+            [
+                ("sort", sorted),
+                ("reverse", lambda v: list(reversed(v))),
+                ("unique", lambda v: sorted(set(v))),
+            ]
+        )
+        ss, sf = self.arr(depth - 1)
+        return (
+            f"({ss} | {name})",
+            lambda row, sf=sf, pyfn=pyfn: None
+            if sf(row) is None
+            else pyfn(sf(row)),
+        )
+
+    def arr_num(self, depth: int):
+        # numeric/array-reducing builtins applied to an array expression
+        r = self.rng
+        ss, sf = self.arr(depth)
+        pick = r.randrange(5)
+        if pick == 0:
+            # add: aggregate from 0.0 ([] sums to 0.0 — documented)
+            def fn(row, sf=sf):
+                v = sf(row)
+                if v is None:
+                    return None
+                acc = 0.0
+                for x in v:
+                    acc += float(x)
+                return acc
+
+            return f"({ss} | add)", fn
+        if pick == 1:
+            return (
+                f"({ss} | min)",
+                lambda row, sf=sf: min(sf(row)) if sf(row) else None,
+            )
+        if pick == 2:
+            return (
+                f"({ss} | max)",
+                lambda row, sf=sf: max(sf(row)) if sf(row) else None,
+            )
+        if pick == 3:
+            return (
+                f"({ss} | length)",
+                lambda row, sf=sf: None if sf(row) is None else len(sf(row)),
+            )
+        which = r.choice(["first", "last"])
+        idx = 0 if which == "first" else -1
+        return (
+            f"({ss} | {which})",
+            lambda row, sf=sf, idx=idx: sf(row)[idx] if sf(row) else None,
+        )
+
+    def arr_bool(self, depth: int):
+        # any(f) / all(f): jq truthiness per element; Spark exists/forall
+        # null-propagate a null array (truthiness downstream treats it
+        # as falsy, same as the reference's None)
+        r = self.rng
+        ss, sf = self.arr(depth)
+        ps, pf = self.elem_pred()
+        name = r.choice(["any", "all"])
+        agg = any if name == "any" else all
+        return (
+            f"({ss} | {name}({ps}))",
+            lambda row, sf=sf, pf=pf, agg=agg: None
+            if sf(row) is None
+            else agg(pf(x) for x in sf(row)),
+        )
+
     def any_expr(self, depth: int):
-        kind = self.rng.randrange(3)
+        kind = self.rng.randrange(6)
         if kind == 0:
             return self.num(depth)
         if kind == 1:
             return self.string(depth)
+        if kind == 2:
+            return self.arr(min(depth, 2))
+        if kind == 3:
+            return self.arr_num(min(depth, 2))
+        if kind == 4:
+            return self.arr_bool(min(depth, 2))
         return self.boolean(depth)
 
 
 def _match(expect, got):
     if expect is None or got is None:
         return expect is None and got is None
+    if isinstance(expect, list) or isinstance(got, list):
+        return (
+            isinstance(expect, list)
+            and isinstance(got, list)
+            and len(expect) == len(got)
+            and all(_match(e, g) for e, g in zip(expect, got))
+        )
     if isinstance(expect, bool) or isinstance(got, bool):
         return expect == got
     if isinstance(expect, (int, float)) and isinstance(got, (int, float)):
