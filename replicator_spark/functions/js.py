@@ -611,13 +611,13 @@ class _Compiler:
         c = _truthy(self.compile(node[1], inp))
         a = self._scalar(self.compile(node[2], inp), "?:")
         b = self._scalar(self.compile(node[3], inp), "?:")
-        dt = a.dtype if _cat(a.dtype) == _cat(b.dtype) else (a.dtype or b.dtype)
+        dt = self._unify(a, b)
         return _Val(F.when(c, a.col).otherwise(b.col), dt, nn=a.nn and b.nn)
 
     def _c_nullish(self, node, inp):
         l = self._scalar(self.compile(node[1], inp), "??")
         r = self._scalar(self.compile(node[2], inp), "??")
-        dt = l.dtype if _cat(l.dtype) == _cat(r.dtype) else (l.dtype or r.dtype)
+        dt = self._unify(l, r)
         return _Val(F.coalesce(l.col, r.col), dt, nn=l.nn or r.nn)
 
     def _mixed_check(self, l: _Val, r: _Val, op: str) -> None:
@@ -627,6 +627,24 @@ class _Compiler:
                 f"{op}: a {lc}-or-{rc} value has no single column type — "
                 f"use a ternary (cond ? x : y) instead"
             )
+
+    @staticmethod
+    def _unify(l: _Val, r: _Val) -> T.DataType | None:
+        """Declared type of a two-branch value (&&/||/??/?:): when the
+        branches mix integer and fractional NUMBER types, Spark coerces
+        the actual column to the wider type — the declared dtype must
+        follow, or String() coercion downstream reads a lying integral
+        dtype and renders '-1.0' where JS (one number type) says '-1'
+        (caught by test_js_differential.py)."""
+        if l.dtype == r.dtype:
+            return l.dtype or r.dtype
+        if _cat(l.dtype) == "number" and _cat(r.dtype) == "number":
+            if isinstance(l.dtype, T.FractionalType) or isinstance(
+                r.dtype, T.FractionalType
+            ):
+                return _DOUBLE
+            return _LONG
+        return l.dtype or r.dtype
 
     def _c_or(self, node, inp):
         ln, rn = node[1], node[2]
@@ -645,7 +663,7 @@ class _Compiler:
             )
             if never_falsy:
                 c = self._scalar(self.compile(rn, inp), "||")
-                dt = b.dtype if _cat(b.dtype) == _cat(c.dtype) else (b.dtype or c.dtype)
+                dt = self._unify(b, c)
                 return _Val(
                     F.when(_truthy(cond), b.col).otherwise(c.col), dt,
                     nn=b.nn and c.nn,
@@ -658,7 +676,7 @@ class _Compiler:
             # both non-null booleans: plain OR (true || b ≡ true,
             # false || b ≡ b) — stays pushable
             return _Val(l.col | r.col, _BOOL, nn=True)
-        dt = l.dtype if _cat(l.dtype) == _cat(r.dtype) else (l.dtype or r.dtype)
+        dt = self._unify(l, r)
         return _Val(F.when(_truthy(l), l.col).otherwise(r.col), dt, nn=r.nn)
 
     def _c_and(self, node, inp):
@@ -670,7 +688,7 @@ class _Compiler:
             # both non-null booleans: value semantics collapse to plain
             # AND (true && b ≡ b, false && b ≡ false) — stays pushable
             return _Val(l.col & r.col, _BOOL, nn=True)
-        dt = l.dtype if _cat(l.dtype) == _cat(r.dtype) else (r.dtype or l.dtype)
+        dt = self._unify(l, r)
         return _Val(F.when(_truthy(l), r.col).otherwise(l.col), dt, nn=l.nn and r.nn)
 
     def _c_not(self, node, inp):

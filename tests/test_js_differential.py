@@ -115,7 +115,7 @@ class Gen:
     def num(self, depth: int):
         r = self.rng
         if depth <= 0 or r.random() < 0.35:
-            pick = r.randrange(7)
+            pick = r.randrange(9)
             if pick == 0:
                 return "row.a", lambda row: row["a"]
             if pick == 1:
@@ -129,6 +129,15 @@ class Gen:
             if pick == 5:
                 k = r.randrange(0, 7)
                 return str(k), lambda row, k=k: k
+            if pick == 6:
+                # .length on a non-null base; int, never null
+                return "row.t.length", lambda row: len(row["t"])
+            if pick == 7:
+                # ?. propagates null exactly like JS
+                return (
+                    "row.s?.length",
+                    lambda row: None if row["s"] is None else len(row["s"]),
+                )
             q = r.randrange(0, 17) * 0.25
             return repr(q), lambda row, q=q: q
         roll = r.random()
@@ -192,11 +201,26 @@ class Gen:
     def string(self, depth: int):
         r = self.rng
         if depth <= 0 or r.random() < 0.4:
-            pick = r.randrange(4)
+            pick = r.randrange(8)
             if pick == 0:
                 return "row.s", lambda row: row["s"]
             if pick == 1:
                 return "row.t", lambda row: row["t"]
+            if pick == 2:
+                return "row.t.toUpperCase()", lambda row: row["t"].upper()
+            if pick == 3:
+                # slice: 0-based end-exclusive, clamped — Python's rules
+                return "row.t.slice(0, 2)", lambda row: row["t"][0:2]
+            if pick == 4:
+                # charAt past the end is '' in JS — the [i:i+1] form
+                return "row.t.charAt(0)", lambda row: row["t"][0:1]
+            if pick == 5 and depth > 0:
+                # template literal: String() coercion on the splice
+                ks, kf = self.num(depth - 1)
+                return (
+                    f"`x${{{ks}}}y`",
+                    lambda row, kf=kf: "x" + _jsstr(kf(row)) + "y",
+                )
             lit = r.choice(["", "a", "ab", "b", "q"])
             return f"'{lit}'", lambda row, lit=lit: lit
         roll = r.random()
@@ -245,11 +269,18 @@ class Gen:
     def boolean(self, depth: int):
         r = self.rng
         if depth <= 0 or r.random() < 0.25:
-            pick = r.randrange(4)
+            pick = r.randrange(6)
             if pick == 0:
                 return "row.f", lambda row: row["f"]
             if pick == 1:
                 return "row.g", lambda row: row["g"]
+            if pick == 2:
+                return (
+                    "row.t.startsWith('a')",
+                    lambda row: row["t"].startswith("a"),
+                )
+            if pick == 3:
+                return "row.t.includes('b')", lambda row: "b" in row["t"]
             b = r.choice([True, False])
             return ("true" if b else "false"), lambda row, b=b: b
         roll = r.random()
