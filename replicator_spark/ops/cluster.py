@@ -35,6 +35,8 @@ persist the (id, vec, cluster) projection between iterations.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -137,6 +139,97 @@ def kmeans_fit_predict(
     return out, centroids
 
 
+def _cluster_candidate_pairs(
+    member: DataFrame,
+    *,
+    cut: float,
+    k: int,
+    block_budget_bytes: int = 64 << 20,
+) -> DataFrame:
+    """Within-cluster candidate pairs (id_a < id_b) whose numpy cosine
+    clears ``cut`` — the blocked-matmul generator behind :func:`semdedup`.
+
+    ``member`` carries (_id, cluster, v). Each cluster is hash-split
+    into blocks sized off the LARGEST cluster under
+    ``block_budget_bytes`` (skew-safe: a dominant cluster still gets
+    bounded blocks), the (i ≤ j) block pairs join within the cluster,
+    and each pair resolves with one BLAS matmul inside ``mapInPandas``
+    — the same layout as ``similarity.cosine_near_dup_blocked``, scoped
+    per cluster. O(Σ|cluster|²·d) flops at memory bandwidth instead of
+    one interpreted lambda dispatch per vector element per pair.
+
+    ``cut`` is a PRE-FILTER, deliberately below the caller's tau: the
+    caller re-verifies survivors with the exact expression the oracle
+    mirrors, so BLAS-vs-fold summation-order ulps can never change the
+    emitted pair set — the kernel only has to never miss a pair, which
+    a margin ≥ 1e-3 guarantees against ~1e-12 numeric spread."""
+    import pandas as pd
+
+    spark = member.sparkSession
+    n_max, dim = (
+        member.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("m"), F.first(F.size("v")).alias("d"))
+        .agg(F.max("m"), F.max("d"))
+        .first()
+    )
+    n_max, dim = int(n_max or 0), int(dim or 1)
+    par = spark.sparkContext.defaultParallelism
+    nb = max(
+        math.ceil(n_max * dim * 8 / block_budget_bytes),
+        math.ceil(par / max(k, 1)),
+        1,
+    )
+    blocks = (
+        member.withColumn(
+            "_blk", F.pmod(F.xxhash64(F.col("_id").cast("string")), F.lit(nb))
+        )
+        .groupBy("cluster", "_blk")
+        .agg(F.collect_list("_id").alias("ids"), F.collect_list("v").alias("vs"))
+    )
+    a = blocks.select(
+        "cluster",
+        F.col("_blk").alias("blk_a"),
+        F.col("ids").alias("ids_a"),
+        F.col("vs").alias("vs_a"),
+    )
+    b = blocks.select(
+        F.col("cluster").alias("_cl_b"),
+        F.col("_blk").alias("blk_b"),
+        F.col("ids").alias("ids_b"),
+        F.col("vs").alias("vs_b"),
+    )
+    pairs = a.join(
+        b, (F.col("cluster") == F.col("_cl_b")) & (F.col("blk_a") <= F.col("blk_b"))
+    ).repartition(min(k * nb * (nb + 1) // 2, par))
+
+    def _kernel(pdf_iter):
+        import numpy as np
+
+        for pdf in pdf_iter:
+            for row in pdf.itertuples(index=False):
+                ids_a = np.asarray(row.ids_a, dtype=np.int64)
+                ids_b = np.asarray(row.ids_b, dtype=np.int64)
+                ma = np.asarray([np.asarray(v) for v in row.vs_a])
+                mb = np.asarray([np.asarray(v) for v in row.vs_b])
+                na = ma / np.sqrt((ma * ma).sum(axis=1, keepdims=True))
+                nb_ = mb / np.sqrt((mb * mb).sum(axis=1, keepdims=True))
+                cos = na @ nb_.T
+                ia, ib = np.nonzero(cos >= cut)
+                if len(ia) == 0:
+                    continue
+                ra, rb = ids_a[ia], ids_b[ib]
+                if row.blk_a == row.blk_b:
+                    keep = ra < rb
+                    if not keep.any():
+                        continue
+                    ra, rb = ra[keep], rb[keep]
+                else:
+                    ra, rb = np.minimum(ra, rb), np.maximum(ra, rb)
+                yield pd.DataFrame({"id_a": ra, "id_b": rb})
+
+    return pairs.mapInPandas(_kernel, schema="id_a long, id_b long")
+
+
 def semdedup(
     df: DataFrame,
     *,
@@ -151,45 +244,58 @@ def semdedup(
 
     A row is dropped iff a SMALLER id in the SAME cluster has cosine
     ≥ tau with it; ``dup_of`` records the smallest such id (the family
-    canonical), null for survivors. The self-join shuffles on
-    (cluster) and compares ids once (a.id < b.id) — pair work is
-    bounded by the cluster sizes, never O(n²) globally.
-    """
+    canonical), null for survivors. Pair work is bounded by the cluster
+    sizes, never O(n²) globally.
+
+    r6 shape: the per-cluster quadratic no longer runs as a self-join
+    evaluating an interpreted ``aggregate`` fold per pair (O(pairs·d)
+    lambda dispatches — 174 s at sf1.0). Candidates come from the
+    blocked BLAS kernel (:func:`_cluster_candidate_pairs`) with a
+    conservative ``tau − 1e-3`` pre-cut, and only the survivors (true
+    near-dups plus a margin sliver) pay the exact sequential-fold
+    cosine the DuckDB oracle mirrors — bit-identical emitted rows, at
+    memory-bandwidth speed."""
     assigned, _ = kmeans_fit_predict(
         df, id_col=id_col, vec_col=vec_col, k=k, iters=iters
     )
     vecs = df.select(
         F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("v")
     )
-    member = assigned.join(vecs, assigned[id_col] == vecs["_id"]).select(
-        F.col(id_col), "cluster", "v"
+    # one materialization feeds the kernel aggs, both verify sides and
+    # the final left join — without it the kmeans-assign + join plan
+    # would re-execute per consumer
+    member = (
+        assigned.join(vecs, assigned[id_col] == vecs["_id"])
+        .select(F.col("_id"), F.col("cluster"), F.col("v"))
+        .localCheckpoint(eager=True)
     )
-    a, b = member.alias("a"), member.alias("b")
+    cand = _cluster_candidate_pairs(member, cut=tau - 1e-3, k=k)
+    va = member.select(F.col("_id").alias("id_a"), F.col("v").alias("va"))
+    vb = member.select(F.col("_id").alias("id_b"), F.col("v").alias("vb"))
+    # exact verify on the surviving sliver: the SAME expression (raw
+    # vectors, sequential folds, dot/(|a|·|b|), round) the self-join
+    # form evaluated per pair — results are unchanged to the bit
     cos = F.round(
-        _dot(F.col("a.v"), F.col("b.v"))
+        _dot(F.col("va"), F.col("vb"))
         / (
-            F.sqrt(_dot(F.col("a.v"), F.col("a.v")))
-            * F.sqrt(_dot(F.col("b.v"), F.col("b.v")))
+            F.sqrt(_dot(F.col("va"), F.col("va")))
+            * F.sqrt(_dot(F.col("vb"), F.col("vb")))
         ),
         round_to,
     )
-    # threshold INSIDE the join condition: a survivor whose candidates
-    # all fail tau must keep its unmatched left-join row (dup_of null),
-    # which a post-join filter would drop
     dup = (
-        b.join(
-            a,
-            (F.col("a.cluster") == F.col("b.cluster"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-            & (cos >= tau),
-            "left",
-        )
-        .groupBy(F.col(f"b.{id_col}").alias(id_col), F.col("b.cluster").alias("cluster"))
-        .agg(F.min(F.col(f"a.{id_col}")).alias("dup_of"))
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .where(cos >= tau)
+        .groupBy("id_b")
+        .agg(F.min("id_a").alias("dup_of"))
     )
-    return dup.select(
-        id_col,
-        "cluster",
-        F.col("dup_of").isNull().alias("kept"),
-        "dup_of",
+    return (
+        member.join(dup, member["_id"] == dup["id_b"], "left")
+        .select(
+            F.col("_id").alias(id_col),
+            "cluster",
+            F.col("dup_of").isNull().alias("kept"),
+            "dup_of",
+        )
     )

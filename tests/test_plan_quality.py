@@ -94,7 +94,7 @@ def test_no_python_eval_in_cdc_queries(spark):
         "dedup_clusters", "decontaminate", "repetition_filter",
         "doc_chunking", "sessionize_events", "quality_unigram_logprob",
         "sample_mixture", "tfidf_keywords", "ngram_novelty",
-        "substring_dedup", "embedding_kmeans", "semdedup",
+        "substring_dedup", "embedding_kmeans",
     ]
     qs = entry.queries()
     for name in jvm_only:
@@ -129,6 +129,11 @@ def test_no_python_eval_in_cdc_queries(spark):
     plan = _plan(qs["pack_sequences"](spark, SF))
     assert "FlatMapGroupsInPandas" in plan
     assert "BatchEvalPython" not in plan
+    # semdedup (r6): the per-cluster quadratic verify runs as a blocked
+    # BLAS kernel via mapInPandas — grouped-Arrow, never row-at-a-time
+    plan = _plan(qs["semdedup"](spark, SF))
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
 def test_cosmos_high_water_pushed_to_scan(spark, tmp_path):
