@@ -691,8 +691,11 @@ def q_schema_evolution_roundtrip(spark, sf_dir):
 
     tmp = _scratch("evo_roundtrip")
     feed_dir, root = f"{tmp}/feed", f"{tmp}/table"
-    ev = _events_change_feed(spark, sf_dir)  # branch added per-row below
-    max_seq = ev.agg(F.max("seq")).first()[0]
+    # seq IS event_id (the _feed derivation), so take the max from the
+    # raw parquet — column stats answer it without running the feed's
+    # md5/to_json projection over every row (r6; the branch-less
+    # _events_change_feed call that only fed this agg is gone too)
+    max_seq = _load(spark, sf_dir, "events").agg(F.max("event_id")).first()[0]
     cutover = max_seq // 2
     ev = _events_change_feed(spark, sf_dir, with_branch_after=cutover)
     width = max_seq // 4 + 1
@@ -756,7 +759,8 @@ def q_schema_type_conflict_roundtrip(spark, sf_dir):
     tmp = _scratch("type_conflict")
     feed_dir, root = f"{tmp}/feed", f"{tmp}/table"
     f = _feed(spark, sf_dir)
-    max_seq = f.agg(F.max("seq")).first()[0]
+    # seq = event_id → parquet column stats answer the max directly (r6)
+    max_seq = _load(spark, sf_dir, "events").agg(F.max("event_id")).first()[0]
     cut = max_seq // 2
     base_fields = [
         F.substring(F.col("commit"), 1, 2).alias("lang"),
@@ -841,7 +845,8 @@ def q_cdc_incremental_read(spark, sf_dir):
     tmp = _scratch("incr_read")
     feed_dir, root = f"{tmp}/feed", f"{tmp}/table"
     ev = _events_change_feed(spark, sf_dir)
-    max_seq = ev.agg(F.max("seq")).first()[0]
+    # seq = event_id → parquet column stats answer the max directly (r6)
+    max_seq = _load(spark, sf_dir, "events").agg(F.max("event_id")).first()[0]
     width = max_seq // 4 + 1
     ev.withColumn("batch_id", (F.col("seq") / width).cast("int")).write.partitionBy(
         "batch_id"
@@ -944,7 +949,8 @@ def q_cdc_point_lookup(spark, sf_dir):
     tmp = _scratch("point_lookup")
     feed_dir, root = f"{tmp}/feed", f"{tmp}/table"
     ev = _events_change_feed(spark, sf_dir)
-    max_seq = ev.agg(F.max("seq")).first()[0]
+    # seq = event_id → parquet column stats answer the max directly (r6)
+    max_seq = _load(spark, sf_dir, "events").agg(F.max("event_id")).first()[0]
     width = max_seq // 4 + 1
     ev.withColumn("batch_id", (F.col("seq") / width).cast("int")).write.partitionBy(
         "batch_id"
@@ -1052,12 +1058,22 @@ def q_source_mysql_normalize(spark, sf_dir):
         ).alias("row_json"),
     )
     out = from_mysql_rows(raw, ["uid", "fpath", "val"])
-    return out.select(
+    # ONE from_json instead of three get_json_object calls — and the
+    # parsed struct lands as an attribute first (3 field references
+    # block CollapseProject), otherwise Catalyst splits it back into
+    # three per-field parses (r6; values identical: string fields +
+    # the same casts)
+    parsed = out.select(
         "seq",
         "op",
-        F.get_json_object("doc", "$.uid").cast("long").alias("uid"),
-        F.get_json_object("doc", "$.fpath").alias("fpath"),
-        F.get_json_object("doc", "$.val").cast("double").alias("val"),
+        F.from_json("doc", "uid string, fpath string, val string").alias("_d"),
+    )
+    return parsed.select(
+        "seq",
+        "op",
+        F.col("_d.uid").cast("long").alias("uid"),
+        F.col("_d.fpath").alias("fpath"),
+        F.col("_d.val").cast("double").alias("val"),
     )
 
 
@@ -1080,10 +1096,13 @@ def q_source_pg_normalize(spark, sf_dir):
         ).alias("tuple"),
     )
     out = from_pg_tuples(raw, rename={"col_0": "uid", "col_1": "repo_name"})
-    return out.select(
+    parsed = out.select(
+        "seq", F.from_json("doc", "uid string, repo_name string").alias("_d")
+    )
+    return parsed.select(
         "seq",
-        F.get_json_object("doc", "$.uid").cast("long").alias("uid"),
-        F.get_json_object("doc", "$.repo_name").alias("repo_name"),
+        F.col("_d.uid").cast("long").alias("uid"),
+        F.col("_d.repo_name").alias("repo_name"),
     )
 
 
@@ -1155,14 +1174,22 @@ def q_source_cosmos_normalize(spark, sf_dir):
         high_water_ts=mn + (mx - mn) // 4,
         recency_window_s=(mx - mn) // 2,
     )
-    return out.select(
+    parsed = out.select(
         "seq",
         "op",
         "db",
         "tbl",
-        F.get_json_object("doc", "$.id").alias("id"),
+        F.col("_ts"),
+        F.from_json("doc", "id string, v string").alias("_d"),
+    )
+    return parsed.select(
+        "seq",
+        "op",
+        "db",
+        "tbl",
+        F.col("_d.id").alias("id"),
         F.col("_ts").alias("ts_epoch"),
-        F.round(F.get_json_object("doc", "$.v").cast("double"), 2).alias("v"),
+        F.round(F.col("_d.v").cast("double"), 2).alias("v"),
     )
 
 
@@ -3337,8 +3364,9 @@ def q_cdc_partial_update_merge(spark, sf_dir):
     )
     # partial semantics assume per-key in-order delivery ACROSS batches
     # (the reference's apply loop is strictly in order) → seq-ranged
-    # batches; intra-batch reordering is handled by the collapse
-    max_seq = ev.agg(F.max("seq")).first()[0]
+    # batches; intra-batch reordering is handled by the collapse.
+    # seq = event_id → parquet column stats answer the max directly (r6)
+    max_seq = _load(spark, sf_dir, "events").agg(F.max("event_id")).first()[0]
     width = max_seq // 4 + 1
     ev.withColumn("batch_id", (F.col("seq") / width).cast("int")).write.partitionBy(
         "batch_id"

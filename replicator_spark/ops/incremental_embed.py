@@ -56,6 +56,7 @@ wrapper (same wiring + crash-gap recovery as
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type hints resolve lazily
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -79,6 +80,64 @@ VECTORS_SCHEMA = T.StructType(
         T.StructField("v", T.ArrayType(T.DoubleType())),
     ]
 )
+
+
+def _fused_prepare_udf(
+    dim: int,
+    hash_bits: int,
+    num_tables: int,
+    refine_bits: int,
+    n_refine: int,
+    seed: int,
+):
+    """normalize + primary keys + refinement keys in ONE Arrow pass.
+
+    r6: the previous shape paid three evaluations per batch — an
+    interpreted ``transform(v, x / sqrt(fold(v)))`` whose norm Catalyst
+    re-evaluates PER ELEMENT (O(dim²) fold steps per row — 8 s alone at
+    sf1.0), then two separate pandas UDFs each shipping every vector to
+    Python. One kernel does all three at BLAS speed. Plane derivation
+    is copied verbatim from ``similarity._lsh_keys_udf`` (primary:
+    ``seed``; refinement: ``seed + 7919`` with ``num_tables·n_refine``
+    tables), so the produced keys are bit-identical to the two-UDF
+    form; normalization moves from a sequential fold to numpy's
+    pairwise sum — a ≤1-ulp difference the round-4 cos contract
+    absorbs (same class as every other BLAS kernel here)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    rng = np.random.default_rng(seed)
+    planes = rng.choice([-1.0, 1.0], size=(dim, hash_bits * num_tables))
+    weights = np.tile(1 << np.arange(hash_bits, dtype=np.int64), num_tables)
+    table_of = np.repeat(np.arange(num_tables, dtype=np.int64), hash_bits)
+    rtables = num_tables * n_refine
+    rng_r = np.random.default_rng(seed + 7919)
+    rplanes = rng_r.choice([-1.0, 1.0], size=(dim, refine_bits * rtables))
+    rweights = np.tile(1 << np.arange(refine_bits, dtype=np.int64), rtables)
+    rtable_of = np.repeat(np.arange(rtables, dtype=np.int64), refine_bits)
+
+    @pandas_udf("struct<v:array<double>,bk:array<long>,rk:array<long>>")
+    def _prep(vs: pd.Series) -> pd.DataFrame:
+        m = np.asarray([np.asarray(x, dtype=np.float64) for x in vs])
+        if m.size == 0:
+            return pd.DataFrame({"v": [], "bk": [], "rk": []})
+        m = m / np.sqrt((m * m).sum(axis=1, keepdims=True))
+
+        def pack(pl, bits, ntab, tof, w):
+            # same 9-dp zero-projection rounding as _lsh_keys_udf:
+            # identical vectors must hash identically across batches
+            signs = np.round(m @ pl, 9) > 0
+            packed = np.zeros((len(m), ntab), dtype=np.int64)
+            for t in range(ntab):
+                sel = tof == t
+                packed[:, t] = (signs[:, sel] * w[sel]).sum(axis=1) | (t << bits)
+            return packed
+
+        bk = pack(planes, hash_bits, num_tables, table_of, weights)
+        rk = pack(rplanes, refine_bits, rtables, rtable_of, rweights)
+        return pd.DataFrame({"v": list(m), "bk": list(bk), "rk": list(rk)})
+
+    return _prep
 
 
 class EmbeddingIndex:
@@ -119,6 +178,9 @@ class EmbeddingIndex:
         self._rkeys = _lsh_keys_udf(
             dim, refine_bits, num_tables * N_REFINE, seed + 7919
         )
+        self._fused = _fused_prepare_udf(
+            dim, hash_bits, num_tables, refine_bits, N_REFINE, seed
+        )
 
     def create(self, num_buckets: int = 32) -> "EmbeddingIndex":
         self.bands.create(
@@ -132,20 +194,24 @@ class EmbeddingIndex:
     def exists(self) -> bool:
         return self.bands.exists() and self.vectors.exists()
 
-    def _prepared(self, df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
-        """(vec_id, v normalized, band_key exploded, rk1..rk4) rows."""
-        norm = F.sqrt(_dot(F.col("v"), F.col("v")))
-        base = df.select(
-            F.col(id_col).cast("long").alias("vec_id"),
-            _as_double(F.col(vec_col)).alias("v"),
+    def _keyed(self, df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+        """(vec_id, v normalized, _bk, _rk) — ONE row per vector, all
+        three vector computations in the fused Arrow kernel."""
+        s = self._fused(_as_double(F.col(vec_col)))
+        return df.select(
+            F.col(id_col).cast("long").alias("vec_id"), s.alias("_s")
         ).select(
-            "vec_id", F.transform("v", lambda x: x / norm).alias("v")
+            "vec_id",
+            F.col("_s.v").alias("v"),
+            F.col("_s.bk").alias("_bk"),
+            F.col("_s.rk").alias("_rk"),
         )
-        keyed = base.select(
-            "vec_id", "v",
-            self._keys(F.col("v")).alias("_bk"),
-            self._rkeys(F.col("v")).alias("_rk"),
-        )
+
+    @staticmethod
+    def _banded(keyed: DataFrame) -> DataFrame:
+        """Explode the compact frame to (band_key, vec_id, v, rk1..4)
+        rows — cheap to re-derive per consumer, so add_batch checkpoints
+        the 1-row-per-vector form instead of this 16×-duplicated one."""
         banded = keyed.select(
             "vec_id",
             "v",
@@ -160,6 +226,10 @@ class EmbeddingIndex:
         ]
         return banded.select("band_key", "vec_id", "v", *rks)
 
+    def _prepared(self, df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+        """(vec_id, v normalized, band_key exploded, rk1..rk4) rows."""
+        return self._banded(self._keyed(df, id_col, vec_col))
+
     def add_batch(
         self,
         vecs: DataFrame,
@@ -173,18 +243,19 @@ class EmbeddingIndex:
         committed (vectors commit first, so bands-committed ⇒ both)."""
         if self.bands.is_committed(batch_key) is not None:
             return None
-        prepared = self._prepared(vecs, id_col, vec_col).localCheckpoint(
-            eager=True
-        )
+        # checkpoint the compact per-vector frame; the 16×-banded form
+        # re-derives from it lazily (posexplode + element_at only)
+        keyed = self._keyed(vecs, id_col, vec_col).localCheckpoint(eager=True)
+        prepared = self._banded(keyed)
         prior_hi = (self.bands._snap().props or {}).get("max_seq")
-        batch_lo = prepared.agg(F.min("vec_id")).first()[0]
+        batch_lo = keyed.agg(F.min("vec_id")).first()[0]
         if prior_hi is not None and batch_lo is not None and batch_lo <= prior_hi:
             raise ValueError(
                 f"batch {batch_key!r} is out of arrival order: min vec_id "
                 f"{batch_lo} <= max indexed id {prior_hi}"
             )
         self.vectors.merge(
-            prepared.select("vec_id", "v")
+            keyed.select("vec_id", "v")
             .dropDuplicates(["vec_id"])
             .select(
                 "vec_id", "v",
@@ -205,49 +276,134 @@ class EmbeddingIndex:
         return self._verified_pairs(prepared)
 
     def _verified_pairs(self, prepared: DataFrame) -> DataFrame:
-        """Nested-cap candidate selection + exact cosine verify."""
-        index = self.bands.read().select(
-            "band_key",
-            F.col("vec_id").alias("old_id"),
-            *[F.col(f"rk{r + 1}").alias(f"ork{r + 1}") for r in range(N_REFINE)],
+        """Nested-cap candidate selection + exact cosine verify.
+
+        r6 shape: the policy no longer runs as a band_key join exploding
+        every (new, earlier-co-occupant) pair through a five-level
+        window (~20M rows/batch at sf1.0 — 41 s of the query's 60 s).
+        Each band bucket is collected once on each side (index rows
+        broadcast-joined to their vectors; the batch side already
+        carries them) and a numpy kernel applies the SAME nested-cap
+        policy per new vector — count of earlier members, cumulative
+        refinement-key agreement levels, exact-pile star to the deepest
+        minimum — plus a ``tau − 1e-3`` cosine pre-cut via one matmul.
+        Survivors (a near-dup-sized sliver) then pay the identical
+        sequential-fold verify as before, so the emitted pairs and cos
+        values are unchanged to the bit."""
+        import pandas as pd
+
+        rk_cols = [f"rk{r + 1}" for r in range(N_REFINE)]
+        vecs = self.vectors.read().select("vec_id", "v")
+
+        def _bucketed(side: DataFrame, prefix: str) -> DataFrame:
+            # FLAT per-bucket encoding: separate id/rk lists plus ONE
+            # flattened double array — Arrow converts primitive lists
+            # straight to numpy buffers, where a list<struct<..,array>>
+            # would materialize a Python dict + float objects per
+            # element (measured: that conversion ate the kernel's win)
+            return side.groupBy("band_key").agg(
+                F.collect_list("vec_id").alias(f"{prefix}_ids"),
+                *[
+                    F.collect_list(c).alias(f"{prefix}_{c}")
+                    for c in rk_cols
+                ],
+                F.flatten(F.collect_list("v")).alias(f"{prefix}_vs"),
+            )
+
+        index = _bucketed(
+            self.bands.read().join(F.broadcast(vecs), "vec_id"), "o"
         )
-        mine = prepared.select(
-            "band_key",
-            F.col("vec_id").alias("new_id"),
-            *[f"rk{r + 1}" for r in range(N_REFINE)],
+        mine = _bucketed(
+            prepared.select("band_key", "vec_id", *rk_cols, "v"), "n"
         )
-        j = mine.join(index, "band_key").where(F.col("old_id") < F.col("new_id"))
-        w = Window.partitionBy("band_key", "new_id")
-        m = F.lit(True)
-        levels = [(F.count(F.lit(1)).over(w), m)]
-        for r in range(N_REFINE):
-            m = m & (F.col(f"ork{r + 1}") == F.col(f"rk{r + 1}"))
-            levels.append((F.sum(m.cast("int")).over(w), m))
-        # first level whose candidate count fits the cap wins; a pile
-        # that agrees on EVERY refinement (exact duplicates) falls back
-        # to one probe against the pile minimum — the only star here.
-        # Window exprs must land as columns BEFORE the filter (Spark
-        # rejects window functions inside WHERE).
-        deepest = levels[-1][1]
-        keep = F.when(levels[0][0] <= self.max_bucket, F.lit(True))
-        for n_k, m_k in levels[1:]:
-            keep = keep.when(n_k <= self.max_bucket, m_k)
-        keep = keep.otherwise(
-            F.col("old_id")
-            == F.min(F.when(deepest, F.col("old_id"))).over(w)
-        )
+        cap, n_ref, dim = self.max_bucket, N_REFINE, self.dim
+        cut = self.tau - 1e-3
+
+        def _policy_kernel(pdf_iter):
+            import numpy as np
+
+            for pdf in pdf_iter:
+                for row in pdf.itertuples(index=False):
+                    o_ids = np.asarray(row.o_ids, dtype=np.int64)
+                    order = np.argsort(o_ids, kind="stable")
+                    o_ids = o_ids[order]
+                    o_v = np.asarray(row.o_vs).reshape(-1, dim)[order]
+                    n_ids = np.asarray(row.n_ids, dtype=np.int64)
+                    n_v = np.asarray(row.n_vs).reshape(-1, dim)
+                    # earlier-member count per new = its insertion point
+                    # in the sorted old ids (index rows include the
+                    # batch itself, so same-batch members count)
+                    n_earlier = np.searchsorted(o_ids, n_ids)
+                    out_a, out_b = [], []
+
+                    def emit(oi, nj):
+                        out_a.extend(o_ids[oi].tolist())
+                        out_b.extend(n_ids[nj].tolist())
+
+                    # fast path — the overwhelmingly common branch: every
+                    # earlier member is a candidate; one blocked matmul +
+                    # margin cut resolves the whole bucket vectorized
+                    fast = np.nonzero(n_earlier <= cap)[0]
+                    for j0 in range(0, len(fast), 256):  # bound O(m·256) temp
+                        js = fast[j0 : j0 + 256]
+                        hi = int(n_earlier[js].max()) if len(js) else 0
+                        if hi == 0:
+                            continue
+                        cos = o_v[:hi] @ n_v[js].T
+                        oi, jj = np.nonzero(
+                            (cos >= cut)
+                            & (np.arange(hi)[:, None] < n_earlier[js][None, :])
+                        )
+                        if len(oi):
+                            emit(oi, js[jj])
+                    # slow path: nested caps per over-cap new — first
+                    # cumulative refinement-agreement level that fits
+                    # wins; beyond the deepest level, ONE star probe to
+                    # the deepest-agreeing minimum (ids sorted → [0])
+                    slow = np.nonzero(n_earlier > cap)[0]
+                    if len(slow):
+                        o_rk = np.stack(
+                            [
+                                np.asarray(getattr(row, f"o_{c}"))[order]
+                                for c in rk_cols
+                            ],
+                            axis=1,
+                        )
+                        n_rk = np.stack(
+                            [np.asarray(getattr(row, f"n_{c}")) for c in rk_cols],
+                            axis=1,
+                        )
+                    for j in slow:
+                        hi = int(n_earlier[j])
+                        m = np.ones(hi, dtype=bool)
+                        chosen = None
+                        for r in range(n_ref):
+                            m &= o_rk[:hi, r] == n_rk[j, r]
+                            if m.sum() <= cap:
+                                chosen = np.nonzero(m)[0]
+                                break
+                        if chosen is None:
+                            chosen = np.nonzero(m)[0][:1]
+                        if len(chosen) == 0:
+                            continue
+                        cos = o_v[chosen] @ n_v[j]
+                        good = chosen[cos >= cut]
+                        if len(good):
+                            emit(good, np.full(len(good), j))
+                    if out_a:
+                        yield pd.DataFrame(
+                            {"id_a": np.asarray(out_a, dtype=np.int64),
+                             "id_b": np.asarray(out_b, dtype=np.int64)}
+                        )
+
         cand = (
-            j.withColumn("_keep", keep)
-            .where(F.col("_keep"))
-            .select(F.col("old_id").alias("id_a"), F.col("new_id").alias("id_b"))
+            mine.join(index, "band_key")
+            .drop("band_key")
+            .mapInPandas(_policy_kernel, schema="id_a long, id_b long")
             .distinct()
         )
-        va = self.vectors.read().select(
-            F.col("vec_id").alias("id_a"), F.col("v").alias("va")
-        )
-        vb = self.vectors.read().select(
-            F.col("vec_id").alias("id_b"), F.col("v").alias("vb")
-        )
+        va = vecs.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+        vb = vecs.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
         cos = F.round(_dot(F.col("va"), F.col("vb")), self.round_to)
         return (
             cand.join(va, "id_a")

@@ -121,14 +121,14 @@ def cosine_near_dup_blocked(
             math.ceil(n * dim * 8 / block_budget_bytes),
         )
 
-    norm = F.sqrt(_dot(F.col("_v"), F.col("_v")))
+    # raw vectors into the blocks; the kernel normalizes its own batch
+    # in numpy (a transform(v, x / norm) column would have the norm
+    # fold inlined into the lambda by CollapseProject and re-evaluated
+    # PER ELEMENT — O(dim²)/row, the HOF-invariant gotcha)
     vecs = df.select(
         F.col(id_col).alias("_id"),
         _as_double(F.col(vec_col)).alias("_v"),
-    ).select(
-        "_id",
-        F.transform("_v", lambda x: x / norm).alias("_v"),
-        F.pmod(F.xxhash64(F.col("_id").cast("string")), F.lit(n_blocks)).alias("_blk"),
+        F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(n_blocks)).alias("_blk"),
     )
     blocks = vecs.groupBy("_blk").agg(
         F.collect_list("_id").alias("ids"), F.collect_list("_v").alias("vs")
@@ -155,7 +155,9 @@ def cosine_near_dup_blocked(
                 ids_b = np.asarray(row.ids_b, dtype=np.int64)
                 ma = np.asarray([np.asarray(v) for v in row.vs_a])
                 mb = np.asarray([np.asarray(v) for v in row.vs_b])
-                cos = ma @ mb.T  # rows pre-normalized
+                ma = ma / np.sqrt((ma * ma).sum(axis=1, keepdims=True))
+                mb = mb / np.sqrt((mb * mb).sum(axis=1, keepdims=True))
+                cos = ma @ mb.T
                 if round_to is not None:
                     cos = np.round(cos, round_to)
                 ia, ib = np.nonzero(cos >= threshold)
@@ -329,17 +331,19 @@ def lsh_near_dup_pairs(
     # Keys and the exact verify keep seeing the RAW vectors — bucketing
     # (incl. its 9-dp zero-projection rounding) and the emitted cos stay
     # bit-identical to the pre-kernel form.
-    nrm = F.sqrt(_dot(F.col("_v"), F.col("_v")))
+    # raw vectors only — the bucket kernel normalizes its own batch in
+    # numpy (an `_nv` column via transform(v, x / norm) looks cheaper
+    # but Catalyst inlines the norm fold into the lambda and re-runs it
+    # PER ELEMENT: O(dim²)/row, measured 8 s alone at sf1.0 — the
+    # HOF-invariant gotcha documented at dedup_text.bucket_candidate_pairs)
     v = df.select(
         F.col(id_col).alias("_id"),
         _as_double(F.col(vec_col)).alias("_v"),
-    ).select(
-        "_id", "_v", F.transform("_v", lambda x: x / nrm).alias("_nv")
     ).withColumn("_rk", rkeys(F.col("_v")))
     # primary keys carry their table id in the high bits; keep it as a
     # column so each refinement round can pick the table's own key
     bucketed = v.select(
-        "_id", "_nv", "_rk", F.explode(keys(F.col("_v"))).alias("bucket")
+        "_id", "_v", "_rk", F.explode(keys(F.col("_v"))).alias("bucket")
     ).withColumn(
         "_tbl",
         F.shiftrightunsigned(F.col("bucket"), hash_bits).cast("int"),
@@ -358,14 +362,14 @@ def lsh_near_dup_pairs(
             .agg(
                 F.collect_list("_id").alias("ids"),
                 F.collect_list(
-                    F.when(F.col("_n") <= max_bucket, F.col("_nv"))
+                    F.when(F.col("_n") <= max_bucket, F.col("_v"))
                 ).alias("vs"),
                 F.count(F.lit(1)).alias("n"),
             )
         )
 
-    # candidates from a small bucket: one matmul of its (pre-normalized)
-    # members, pairs clearing the pre-cut. The cut sits BELOW threshold:
+    # candidates from a small bucket: normalize in-kernel, one matmul,
+    # pairs clearing the pre-cut. The cut sits BELOW threshold:
     # the exact verify at the end re-computes every survivor with the
     # sequential-fold expression the oracle mirrors, so kernel summation
     # order can never change the result — the kernel only must not MISS
@@ -379,6 +383,7 @@ def lsh_near_dup_pairs(
             for row in pdf.itertuples(index=False):
                 ids = np.asarray(row.ids, dtype=np.int64)
                 m = np.asarray([np.asarray(x) for x in row.vs])
+                m = m / np.sqrt((m * m).sum(axis=1, keepdims=True))
                 cos = m @ m.T
                 ia, ib = np.nonzero(cos >= cut)
                 keep = ids[ia] < ids[ib]
@@ -444,7 +449,7 @@ def lsh_near_dup_pairs(
             )
             .select(
                 "_id",
-                "_nv",
+                "_v",
                 "_rk",
                 "_tbl",
                 F.concat_ws(

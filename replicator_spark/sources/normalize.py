@@ -41,13 +41,23 @@ def from_mysql_rows(
     ``columns`` is the declared table schema (the reference loses the
     names; we keep them — sanctioned improvement, SURVEY §2.1 S6).
     """
-    arr = F.from_json(F.col(row_col), T.ArrayType(T.StringType()))
+    # parse ONCE into an attribute: element_at references it per column,
+    # and ≥2 references of a non-trivial alias block CollapseProject —
+    # inlined, the array parse would re-run per projected column (r6;
+    # measured 3× duplicate from_json in the plan)
+    arr = F.col("_arr")
     doc = F.to_json(
         F.struct(
             *[F.element_at(arr, i + 1).alias(c) for i, c in enumerate(columns)]
         )
     )
-    return df.withColumn("doc", doc)
+    return (
+        df.withColumn(
+            "_arr", F.from_json(F.col(row_col), T.ArrayType(T.StringType()))
+        )
+        .withColumn("doc", doc)
+        .drop("_arr")
+    )
 
 
 def from_pg_tuples(df: DataFrame, rename: dict[str, str] | None = None) -> DataFrame:

@@ -126,9 +126,10 @@ def test_plans_arrow_only(spark, planted, tmp_path):
     plan = pairs._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     # the candidate join is keyed on band_key and the verify joins on
-    # ids — never a cross product; the cap policy runs as window exprs
+    # ids — never a cross product; the cap policy runs inside the
+    # per-bucket grouped-Arrow kernel (r6), never row-at-a-time Python
     assert "CartesianProduct" not in plan
-    assert "Window" in plan
+    assert "MapInPandas" in plan
 
 
 def test_embed_stream_end_to_end(spark, planted, tmp_path):
