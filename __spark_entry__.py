@@ -32,6 +32,24 @@ def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Fan a narrow scan out to the session's parallelism (guide §2.5).
+
+    The corpus parquets are single files a few MB each — ONE scan split
+    at the default 128 MB maxPartitionBytes — so every pre-shuffle
+    stage (scan, shingling, Arrow kernels, feed derivation) of a query
+    rooted there runs on one core of 32 (measured: the sf1.0 minhash
+    shingle+hash stage alone was 20+ s single-task). Scale-adaptive:
+    inputs that already carry >= parallelism splits pass through
+    untouched, so this is a no-op on real multi-file tables; the
+    round-robin shuffle it adds here moves a few MB. Call it AFTER any
+    filter that must push down to the scan."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= par:
+        return df
+    return df.repartition(par)
+
+
 def _feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events → canonical change feed (SURVEY §1.1 T14 normalization)."""
     ev = _load(spark, sf_dir, "events")
@@ -96,7 +114,7 @@ latest AS (
 def q_cdc_final_state(spark, sf_dir):
     """MERGE final state after full replay: per-key LWW, deletes removed,
     sha256(content) per row (K7 + O1; BASELINE.json invariant)."""
-    out = _lww(_feed(spark, sf_dir)).where(F.col("op") != "delete")
+    out = _lww(_spread(_feed(spark, sf_dir))).where(F.col("op") != "delete")
     return out.select(
         "repo",
         "path",
@@ -566,8 +584,7 @@ def q_extjson_decode(spark, sf_dir):
     )
     dec = decode_extended_json(ext)
     return (
-        _feed(spark, sf_dir)
-        .where(F.col("op") == "insert")
+        _spread(_feed(spark, sf_dir).where(F.col("op") == "insert"))
         .select(
             "seq",
             F.get_json_object(dec, "$._id").alias("oid"),
@@ -699,9 +716,9 @@ def q_schema_evolution_roundtrip(spark, sf_dir):
     cutover = max_seq // 2
     ev = _events_change_feed(spark, sf_dir, with_branch_after=cutover)
     width = max_seq // 4 + 1
-    ev.withColumn("batch_id", (F.col("seq") / width).cast("int")).write.partitionBy(
-        "batch_id"
-    ).parquet(feed_dir)
+    _spread(ev).withColumn(
+        "batch_id", (F.col("seq") / width).cast("int")
+    ).write.partitionBy("batch_id").parquet(feed_dir)
 
     table = LakeTable(spark, root)
     table.create(
@@ -791,9 +808,9 @@ def q_schema_type_conflict_roundtrip(spark, sf_dir):
         doc.alias("doc"),
     )
     width = max_seq // 4 + 1
-    ev.withColumn("batch_id", (F.col("seq") / width).cast("int")).write.partitionBy(
-        "batch_id"
-    ).parquet(feed_dir)
+    _spread(ev).withColumn(
+        "batch_id", (F.col("seq") / width).cast("int")
+    ).write.partitionBy("batch_id").parquet(feed_dir)
 
     table = LakeTable(spark, root)
     table.create(
@@ -848,9 +865,9 @@ def q_cdc_incremental_read(spark, sf_dir):
     # seq = event_id → parquet column stats answer the max directly (r6)
     max_seq = _load(spark, sf_dir, "events").agg(F.max("event_id")).first()[0]
     width = max_seq // 4 + 1
-    ev.withColumn("batch_id", (F.col("seq") / width).cast("int")).write.partitionBy(
-        "batch_id"
-    ).parquet(feed_dir)
+    _spread(ev).withColumn(
+        "batch_id", (F.col("seq") / width).cast("int")
+    ).write.partitionBy("batch_id").parquet(feed_dir)
     table = LakeTable(spark, root)
     table.create(
         T.StructType(
@@ -952,9 +969,9 @@ def q_cdc_point_lookup(spark, sf_dir):
     # seq = event_id → parquet column stats answer the max directly (r6)
     max_seq = _load(spark, sf_dir, "events").agg(F.max("event_id")).first()[0]
     width = max_seq // 4 + 1
-    ev.withColumn("batch_id", (F.col("seq") / width).cast("int")).write.partitionBy(
-        "batch_id"
-    ).parquet(feed_dir)
+    _spread(ev).withColumn(
+        "batch_id", (F.col("seq") / width).cast("int")
+    ).write.partitionBy("batch_id").parquet(feed_dir)
     table = LakeTable(spark, root)
     table.create(
         T.StructType(
@@ -1057,7 +1074,7 @@ def q_source_mysql_normalize(spark, sf_dir):
             )
         ).alias("row_json"),
     )
-    out = from_mysql_rows(raw, ["uid", "fpath", "val"])
+    out = from_mysql_rows(_spread(raw), ["uid", "fpath", "val"])
     # ONE from_json instead of three get_json_object calls — and the
     # parsed struct lands as an attribute first (3 field references
     # block CollapseProject), otherwise Catalyst splits it back into
@@ -1095,7 +1112,7 @@ def q_source_pg_normalize(spark, sf_dir):
             F.lit("col_1"), F.col("repo"),
         ).alias("tuple"),
     )
-    out = from_pg_tuples(raw, rename={"col_0": "uid", "col_1": "repo_name"})
+    out = from_pg_tuples(_spread(raw), rename={"col_0": "uid", "col_1": "repo_name"})
     parsed = out.select(
         "seq", F.from_json("doc", "uid string, repo_name string").alias("_d")
     )
@@ -1130,7 +1147,7 @@ def q_source_kafka_normalize(spark, sf_dir):
     raw = _feed(spark, sf_dir).select(
         "seq", F.concat(F.lit("topic-"), F.col("repo")).alias("topic"), value.alias("value")
     )
-    out = from_kafka_messages(raw, default_db="srcdb")
+    out = from_kafka_messages(_spread(raw), default_db="srcdb")
     return out.select("seq", "op", "db", "tbl")
 
 
@@ -1167,7 +1184,7 @@ def q_source_cosmos_normalize(spark, sf_dir):
         F.min(F.unix_timestamp("ts")), F.max(F.unix_timestamp("ts"))
     ).first()
     out = from_cosmos_documents(
-        docs,
+        _spread(docs),
         db="appdb",
         container="docs",
         now_ts=mx,
@@ -1560,7 +1577,7 @@ def q_decontaminate(spark, sf_dir):
     xxhash64 collides (~2^-40 at this corpus)."""
     from replicator_spark.ops.text import benchmark_ngram_collisions
 
-    docs = _load(spark, sf_dir, "documents")
+    docs = _spread(_load(spark, sf_dir, "documents"))
     bench = docs.where(F.col("doc_id") % 17 == 3)
     train = docs.where(F.col("doc_id") % 17 != 3)
     return benchmark_ngram_collisions(train, bench, n=13)
@@ -2113,7 +2130,7 @@ def q_tfidf_keywords(spark, sf_dir):
     partitioned by document — no global sort anywhere."""
     from replicator_spark.ops.text import tfidf_keywords
 
-    return tfidf_keywords(_load(spark, sf_dir, "documents"), k=3).select(
+    return tfidf_keywords(_spread(_load(spark, sf_dir, "documents")), k=3).select(
         "doc_id", "token", F.col("rank").cast("long").alias("rank"), "score"
     )
 
@@ -2150,7 +2167,7 @@ def q_ngram_novelty(spark, sf_dir):
     window, no O(n²) stage."""
     from replicator_spark.ops.text import ngram_novelty
 
-    return ngram_novelty(_load(spark, sf_dir, "documents"), n=3)
+    return ngram_novelty(_spread(_load(spark, sf_dir, "documents")), n=3)
 
 
 SQL_ngram_novelty = r"""
@@ -2188,7 +2205,7 @@ def q_substring_dedup(spark, sf_dir):
     from replicator_spark.ops.dedup_text import strip_duplicated_substrings
 
     return strip_duplicated_substrings(
-        _load(spark, sf_dir, "documents"), k=15
+        _spread(_load(spark, sf_dir, "documents")), k=15
     )
 
 
@@ -2543,7 +2560,7 @@ def q_embedding_dedup_end2end(spark, sf_dir):
     from replicator_spark.ops.dedup_text import connected_components
     from replicator_spark.ops.similarity import lsh_near_dup_pairs
 
-    emb = _load(spark, sf_dir, "embeddings")
+    emb = _spread(_load(spark, sf_dir, "embeddings"))
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     base = emb.select("vec_id", v.alias("v"))
     perturb = lambda off: F.concat(  # noqa: E731
@@ -2652,7 +2669,7 @@ def q_embedding_kmeans(spark, sf_dir):
     has no clustering surface (extension op, like ops/dedup_text)."""
     from replicator_spark.ops.cluster import kmeans_fit_predict
 
-    emb = _load(spark, sf_dir, "embeddings")
+    emb = _spread(_load(spark, sf_dir, "embeddings"))
     out, _ = kmeans_fit_predict(emb, k=8, iters=2)
     return out.select(
         "vec_id", "cluster", F.round("dist2", 3).alias("dist2")
@@ -2678,7 +2695,7 @@ def q_semdedup(spark, sf_dir):
     originals and exactly the non-canonical family members drop."""
     from replicator_spark.ops.cluster import semdedup
 
-    emb = _load(spark, sf_dir, "embeddings")
+    emb = _spread(_load(spark, sf_dir, "embeddings"))
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     base = emb.select("vec_id", v.alias("v"))
     perturb = lambda off: F.concat(  # noqa: E731
@@ -2757,7 +2774,7 @@ def q_incremental_minhash_dedup(spark, sf_dir):
             F.lit(_TEMPLATE_TEXT).alias("text"),
         )
     )
-    corpus = docs.unionByName(plant)
+    corpus = _spread(docs.unionByName(plant))
     t1, t2 = docs.selectExpr(
         "percentile(doc_id, 0.34) as t1", "percentile(doc_id, 0.67) as t2"
     ).first()
@@ -2859,7 +2876,7 @@ def q_incremental_embedding_dedup(spark, sf_dir):
         replay_embeddings_incremental,
     )
 
-    emb = _load(spark, sf_dir, "embeddings")
+    emb = _spread(_load(spark, sf_dir, "embeddings"))
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     base = emb.select("vec_id", v.alias("v"))
     perturb = lambda off: F.concat(  # noqa: E731
@@ -2960,7 +2977,7 @@ def q_minhash_lsh(spark, sf_dir):
         (F.col("doc_id") + 10_000_000).alias("doc_id"),
         F.lit(_TEMPLATE_TEXT).alias("text"),
     )
-    corpus = docs.select("doc_id", "text").unionByName(planted)
+    corpus = _spread(docs.select("doc_id", "text").unionByName(planted))
     sized = lsh_band_buckets(
         minhash_signatures(corpus, num_hashes=128, base_hash="sha2_60"),
         "doc_id",
@@ -3058,7 +3075,7 @@ def q_simhash_dedup(spark, sf_dir):
     stays xxhash64 (faster; cross-checked in pytest)."""
     from replicator_spark.ops.dedup_text import simhash64, simhash_near_dups
 
-    docs = _load(spark, sf_dir, "documents")
+    docs = _spread(_load(spark, sf_dir, "documents"))
     return simhash_near_dups(simhash64(docs, token_hash="sha2"), max_hamming=3)
 
 
@@ -3161,7 +3178,7 @@ def q_ann_lsh(spark, sf_dir):
     neighbor rows and fails the hash."""
     from replicator_spark.ops.similarity import brute_force_knn, lsh_bucket_knn
 
-    emb = _load(spark, sf_dir, "embeddings")
+    emb = _spread(_load(spark, sf_dir, "embeddings"))
     q, aug = _ann_planted_corpus(emb)
     # 10 tables: the planted top-3 edges are single-path (no CC to
     # absorb a miss) — worst planted cos ≈ 0.981 gives per-edge miss
@@ -3187,7 +3204,7 @@ def q_ann_ivf(spark, sf_dir):
     tests/test_ops_similarity.py)."""
     from replicator_spark.ops.similarity import brute_force_knn, ivf_knn
 
-    emb = _load(spark, sf_dir, "embeddings")
+    emb = _spread(_load(spark, sf_dir, "embeddings"))
     q, aug = _ann_planted_corpus(emb)
     approx = ivf_knn(
         aug, q, vec_col="v", k=3, n_centroids=16, n_probe=4, train_fraction=0.5
@@ -3282,9 +3299,9 @@ def q_cdc_replay_roundtrip(spark, sf_dir):
     # out-of-order delivery across batches + at-least-once redelivery:
     # exactly the adversarial stream the tombstone/LWW design exists for
     ev = ev.unionByName(ev.where(F.col("seq") % 7 == 0))
-    ev.withColumn("batch_id", F.pmod(F.col("seq"), F.lit(4)).cast("int")).write.partitionBy(
-        "batch_id"
-    ).parquet(feed_dir)
+    _spread(ev).withColumn(
+        "batch_id", F.pmod(F.col("seq"), F.lit(4)).cast("int")
+    ).write.partitionBy("batch_id").parquet(feed_dir)
 
     table = LakeTable(spark, root)
     table.create(
@@ -3368,9 +3385,9 @@ def q_cdc_partial_update_merge(spark, sf_dir):
     # seq = event_id → parquet column stats answer the max directly (r6)
     max_seq = _load(spark, sf_dir, "events").agg(F.max("event_id")).first()[0]
     width = max_seq // 4 + 1
-    ev.withColumn("batch_id", (F.col("seq") / width).cast("int")).write.partitionBy(
-        "batch_id"
-    ).parquet(feed_dir)
+    _spread(ev).withColumn(
+        "batch_id", (F.col("seq") / width).cast("int")
+    ).write.partitionBy("batch_id").parquet(feed_dir)
 
     table = LakeTable(spark, root)
     table.create(

@@ -47,6 +47,8 @@ def main() -> None:
     ap.add_argument("--explain", default=None, help="directory for plan dumps")
     ap.add_argument("--tag", default="before")
     ap.add_argument("--repeat", type=int, default=1)
+    ap.add_argument("--plan-only", action="store_true",
+                    help="skip the timed noop run; just dump plans")
     args = ap.parse_args()
 
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -71,14 +73,14 @@ def main() -> None:
     for name in args.names:
         fn = qs[name]
         samples = []
-        for r in range(args.repeat):
+        for r in range(0 if args.plan_only else args.repeat):
             spark.sparkContext.setJobDescription(f"{name} [{args.tag} r{r}]")
             t0 = time.time()
             df = fn(spark, args.sf)
             df.write.format("noop").mode("overwrite").save()
             samples.append(round(time.time() - t0, 3))
             spark.sparkContext.setJobDescription(None)
-        out[name] = samples if args.repeat > 1 else samples[0]
+        out[name] = (samples if args.repeat > 1 else samples[0]) if samples else None
         if args.explain:
             os.makedirs(args.explain, exist_ok=True)
             with open(os.path.join(args.explain, f"{name}_{args.tag}.txt"), "w") as f:

@@ -101,6 +101,69 @@ def minhash_signatures(
     (arrow impl only; the jvm impl is inherently xxhash64-seeded.)
     """
     sh = shingle_expr(text_col, shingle_n).alias("_sh")
+
+    if impl == "arrow" and base_hash == "sha2_60":
+        # r6: shingle + sha-60 + permutations all in ONE Arrow kernel
+        # over the raw text. The JVM form paid 20.5 s at sf1.0 for the
+        # substr/array_distinct shingling alone and another ~6 s for
+        # sha2+conv per shingle; hashlib over per-doc shingle sets does
+        # the same work in under a second of wall. Values are identical:
+        # python slicing = substr character semantics (both count
+        # codepoints), set() = array_distinct, and
+        # int.from_bytes(sha256(s)[:8], 'big') >> 4 IS
+        # conv(substr(sha2_hex, 1, 15), 16, 10) — the first 60 bits.
+        from pyspark.sql.functions import pandas_udf
+
+        import numpy as np
+
+        a_, b_ = affine_constants(num_hashes, seed)
+        k_n = shingle_n
+
+        @pandas_udf("array<long>")
+        def _sig_text_pd(texts: pd.Series) -> pd.Series:
+            import hashlib
+
+            sha = hashlib.sha256
+            docs_hashes = []
+            for t in texts:
+                t = t or ""
+                n_starts = max(len(t) - (k_n - 1), 1)
+                hs = {
+                    sha(t[i : i + k_n].encode("utf-8")).digest()[:8]
+                    for i in range(n_starts)
+                }
+                docs_hashes.append(
+                    np.fromiter(
+                        (int.from_bytes(h, "big") >> 4 for h in hs),
+                        dtype=np.uint64,
+                        count=len(hs),
+                    )
+                )
+            n = len(docs_hashes)
+            lens = np.fromiter((len(x) for x in docs_hashes), dtype=np.int64, count=n)
+            total = int(lens.sum())
+            flat = np.empty(total, dtype=np.uint64)
+            pos = 0
+            for x in docs_hashes:
+                flat[pos : pos + len(x)] = x
+                pos += len(x)
+            offsets = np.zeros(n, dtype=np.int64)
+            if n > 1:
+                np.cumsum(lens[:-1], out=offsets[1:])
+            nonempty = lens > 0
+            seg = offsets[nonempty]
+            out = np.full((n, len(a_)), np.iinfo(np.int64).max, dtype=np.int64)
+            if nonempty.any():
+                with np.errstate(over="ignore"):
+                    for i in range(len(a_)):
+                        perm = (flat * a_[i] + b_[i]).view(np.int64)
+                        out[nonempty, i] = np.minimum.reduceat(perm, seg)
+            return pd.Series(list(out))
+
+        return df.select(
+            F.col(id_col), _sig_text_pd(F.col(text_col)).alias("signature")
+        )
+
     base = df.select(F.col(id_col), sh)
 
     if impl == "arrow":
@@ -459,6 +522,8 @@ def simhash64(
     if impl == "arrow":
         from pyspark.sql.functions import pandas_udf
 
+        in_kernel_sha = token_hash == "sha2"
+
         @pandas_udf("long")
         def _simhash_pd(tok_hashes: pd.Series) -> pd.Series:
             import numpy as np
@@ -466,13 +531,33 @@ def simhash64(
             n = len(tok_hashes)
             lens = np.fromiter((len(x) for x in tok_hashes), dtype=np.int64, count=n)
             total = int(lens.sum())
-            flat = np.empty(total, dtype=np.int64)
-            pos = 0
-            for x in tok_hashes:
-                m = len(x)
-                flat[pos : pos + m] = x
-                pos += m
-            u = flat.view(np.uint64)
+            if in_kernel_sha:
+                # r6: tokens arrive RAW and the 60-bit sha-derived hash
+                # is computed here — hashlib beats the JVM
+                # sha2+substring+conv expression chain ~5× (same value:
+                # first 60 bits of the digest)
+                import hashlib
+
+                sha = hashlib.sha256
+                u = np.empty(total, dtype=np.uint64)
+                pos = 0
+                for x in tok_hashes:
+                    for t in x:
+                        u[pos] = (
+                            int.from_bytes(
+                                sha(t.encode("utf-8")).digest()[:8], "big"
+                            )
+                            >> 4
+                        )
+                        pos += 1
+            else:
+                flat = np.empty(total, dtype=np.int64)
+                pos = 0
+                for x in tok_hashes:
+                    m = len(x)
+                    flat[pos : pos + m] = x
+                    pos += m
+                u = flat.view(np.uint64)
             offsets = np.zeros(n, dtype=np.int64)
             if n > 1:
                 np.cumsum(lens[:-1], out=offsets[1:])
@@ -489,7 +574,8 @@ def simhash64(
                     out[nonempty] |= np.uint64(1 << b) * (sums > 0).astype(np.uint64)
             return pd.Series(out.view(np.int64))
 
-        return df.select(F.col(id_col), _simhash_pd(th).alias("simhash"))
+        kernel_in = toks if in_kernel_sha else th
+        return df.select(F.col(id_col), _simhash_pd(kernel_in).alias("simhash"))
 
     def _bit_sum(b: int):
         # bit 63: 1<<63 overflows signed long — use its two's-complement
@@ -620,16 +706,23 @@ def strip_duplicated_substrings(
                 starts_seq,
                 lambda i: F.struct(
                     (i - 1).alias("p"),  # 0-based start, aligns with posexplode
-                    F.concat_ws(" ", F.slice(words, i, k)).alias("gram"),
+                    # shuffle the gram's 64-bit hash, not the ~100-byte
+                    # string: the count agg and the join back only need
+                    # identity, and the banding precedent applies —
+                    # identical groups absent an xxhash64 collision,
+                    # which the oracle hash gate would expose (r6)
+                    F.xxhash64(
+                        F.concat_ws(" ", F.slice(words, i, k))
+                    ).alias("gh"),
                 ),
             )
         ).alias("g"),
-    ).select("_id", F.col("g.p").alias("p"), F.col("g.gram").alias("gram"))
-    dup = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("cnt")).where(
+    ).select("_id", F.col("g.p").alias("p"), F.col("g.gh").alias("gh"))
+    dup = grams.groupBy("gh").agg(F.count(F.lit(1)).alias("cnt")).where(
         F.col("cnt") > 1
     )
     covered = (
-        grams.join(dup, "gram")
+        grams.join(dup, "gh")
         .select("_id", F.explode(F.sequence(F.col("p"), F.col("p") + (k - 1))).alias("pos"))
         .distinct()
     )

@@ -568,13 +568,17 @@ def ngram_novelty(
     )
     words = F.col("_w")
     idx = F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(1)))
+    # shuffle the gram's 64-bit hash, not the string: distinct, the
+    # min-doc agg and the join back only need gram identity — identical
+    # groups absent an xxhash64 collision, which the oracle hash gate
+    # would expose (the repo's banding precedent; r6)
     grams = wdf.select(
         "_id",
         F.explode(
             F.transform(
                 idx,
-                lambda i: F.concat_ws(
-                    " ", F.slice(words, i, n)
+                lambda i: F.xxhash64(
+                    F.concat_ws(" ", F.slice(words, i, n))
                 ),
             )
         ).alias("gram"),
