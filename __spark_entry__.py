@@ -50,9 +50,18 @@ def _spread(df: DataFrame) -> DataFrame:
     return df.repartition(par)
 
 
-def _feed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events → canonical change feed (SURVEY §1.1 T14 normalization)."""
+def _feed(spark: SparkSession, sf_dir: str, spread: bool = False) -> DataFrame:
+    """events → canonical change feed (SURVEY §1.1 T14 normalization).
+
+    ``spread=True`` repartitions the RAW events scan before the
+    derivation (md5/concat per row): the exchange then moves the 15 MB
+    source columns once and the derivation runs at full parallelism —
+    spreading the derived frame instead would shuffle ~200 MB of
+    derived strings AND leave the derivation single-task. Off for
+    queries whose filters must reach the parquet scan (pushdown)."""
     ev = _load(spark, sf_dir, "events")
+    if spread:
+        ev = _spread(ev)
     return ev.select(
         F.col("event_id").alias("seq"),
         F.col("user_id"),
@@ -114,7 +123,7 @@ latest AS (
 def q_cdc_final_state(spark, sf_dir):
     """MERGE final state after full replay: per-key LWW, deletes removed,
     sha256(content) per row (K7 + O1; BASELINE.json invariant)."""
-    out = _lww(_spread(_feed(spark, sf_dir))).where(F.col("op") != "delete")
+    out = _lww(_feed(spark, sf_dir, spread=True)).where(F.col("op") != "delete")
     return out.select(
         "repo",
         "path",
@@ -133,6 +142,10 @@ FROM latest WHERE rn = 1 AND op <> 'delete'
 
 def q_cdc_lww_latest(spark, sf_dir):
     """Per-key last-writer-wins winner incl. delete tombstones (O1)."""
+    # NO spread here: the window exchange already parallelizes the heavy
+    # stage, and a pre-derivation repartition would haul the full raw
+    # rows (props included — ~200 MB uncompressed) through an extra
+    # exchange for nothing (measured 3.1 → 12.3 s at sf1.0 with it)
     return _lww(_feed(spark, sf_dir)).select(
         "repo", "path", "commit", "op", F.col("seq").alias("last_seq")
     )
@@ -384,7 +397,9 @@ def q_transform_engine_chain(spark, sf_dir):
     (``pkg/transform/engine.go:69-167``)."""
     from replicator_spark.transform import Action, Condition, Rule, TransformEngine
 
-    feed = _feed(spark, sf_dir).withColumn("doc", F.from_json("props", "k long"))
+    feed = _feed(spark, sf_dir, spread=True).withColumn(
+        "doc", F.from_json("props", "k long")
+    )
     rules = [
         Rule(
             "hoist",
@@ -584,7 +599,8 @@ def q_extjson_decode(spark, sf_dir):
     )
     dec = decode_extended_json(ext)
     return (
-        _spread(_feed(spark, sf_dir).where(F.col("op") == "insert"))
+        _feed(spark, sf_dir, spread=True)
+        .where(F.col("op") == "insert")
         .select(
             "seq",
             F.get_json_object(dec, "$._id").alias("oid"),
@@ -631,7 +647,9 @@ def q_transform_dead_letter(spark, sf_dir):
     oracle reproduces the validation predicate)."""
     from replicator_spark.transform import Action, Condition, Rule, TransformEngine
 
-    feed = _feed(spark, sf_dir).withColumn("doc", F.from_json("props", "k long"))
+    feed = _feed(spark, sf_dir, spread=True).withColumn(
+        "doc", F.from_json("props", "k long")
+    )
     rules = [
         Rule(
             "hoist-validate",
@@ -663,13 +681,15 @@ def _scratch(name: str) -> str:
     return tmp
 
 
-def _events_change_feed(spark, sf_dir, with_branch_after: int | None = None):
+def _events_change_feed(
+    spark, sf_dir, with_branch_after: int | None = None, spread: bool = False
+):
     """events → canonical CHANGE_SCHEMA-shaped records (the same
     derivation as ``_feed``/``_FEED_CTE``, so DuckDB can replicate it):
     doc = {lang, content[, branch]} JSON, key = (repo, path, commit).
     ``with_branch_after``: rows with seq above it additionally carry a
     ``branch`` field (the additive-evolution fixture)."""
-    f = _feed(spark, sf_dir)
+    f = _feed(spark, sf_dir, spread=spread)
     fields = [
         F.substring(F.col("commit"), 1, 2).alias("lang"),
         F.col("props").alias("content"),
@@ -714,9 +734,11 @@ def q_schema_evolution_roundtrip(spark, sf_dir):
     # _events_change_feed call that only fed this agg is gone too)
     max_seq = _load(spark, sf_dir, "events").agg(F.max("event_id")).first()[0]
     cutover = max_seq // 2
-    ev = _events_change_feed(spark, sf_dir, with_branch_after=cutover)
+    ev = _events_change_feed(
+        spark, sf_dir, with_branch_after=cutover, spread=True
+    )
     width = max_seq // 4 + 1
-    _spread(ev).withColumn(
+    ev.withColumn(
         "batch_id", (F.col("seq") / width).cast("int")
     ).write.partitionBy("batch_id").parquet(feed_dir)
 
@@ -775,7 +797,7 @@ def q_schema_type_conflict_roundtrip(spark, sf_dir):
 
     tmp = _scratch("type_conflict")
     feed_dir, root = f"{tmp}/feed", f"{tmp}/table"
-    f = _feed(spark, sf_dir)
+    f = _feed(spark, sf_dir, spread=True)
     # seq = event_id → parquet column stats answer the max directly (r6)
     max_seq = _load(spark, sf_dir, "events").agg(F.max("event_id")).first()[0]
     cut = max_seq // 2
@@ -808,7 +830,7 @@ def q_schema_type_conflict_roundtrip(spark, sf_dir):
         doc.alias("doc"),
     )
     width = max_seq // 4 + 1
-    _spread(ev).withColumn(
+    ev.withColumn(
         "batch_id", (F.col("seq") / width).cast("int")
     ).write.partitionBy("batch_id").parquet(feed_dir)
 
@@ -861,11 +883,11 @@ def q_cdc_incremental_read(spark, sf_dir):
 
     tmp = _scratch("incr_read")
     feed_dir, root = f"{tmp}/feed", f"{tmp}/table"
-    ev = _events_change_feed(spark, sf_dir)
+    ev = _events_change_feed(spark, sf_dir, spread=True)
     # seq = event_id → parquet column stats answer the max directly (r6)
     max_seq = _load(spark, sf_dir, "events").agg(F.max("event_id")).first()[0]
     width = max_seq // 4 + 1
-    _spread(ev).withColumn(
+    ev.withColumn(
         "batch_id", (F.col("seq") / width).cast("int")
     ).write.partitionBy("batch_id").parquet(feed_dir)
     table = LakeTable(spark, root)
@@ -923,7 +945,11 @@ def q_cdc_event_filter(spark, sf_dir):
     feed (filters.EventFilter)."""
     from replicator_spark.filters import EventFilter, FieldFilter
 
-    ev = _events_change_feed(spark, sf_dir)
+    # spread=True is a no-op on real multi-split scans, so the
+    # EventFilter pushdown contract holds at scale; on the 15 MB
+    # single-split bench scan (where pushdown saves nothing) it frees
+    # the other 31 cores for the doc-JSON construction the filter reads
+    ev = _events_change_feed(spark, sf_dir, spread=True)
     ef = EventFilter(
         include_operations=["insert", "update"],
         field_filters=[FieldFilter("lang", "regex", "^[0-9]")],
@@ -965,11 +991,11 @@ def q_cdc_point_lookup(spark, sf_dir):
 
     tmp = _scratch("point_lookup")
     feed_dir, root = f"{tmp}/feed", f"{tmp}/table"
-    ev = _events_change_feed(spark, sf_dir)
+    ev = _events_change_feed(spark, sf_dir, spread=True)
     # seq = event_id → parquet column stats answer the max directly (r6)
     max_seq = _load(spark, sf_dir, "events").agg(F.max("event_id")).first()[0]
     width = max_seq // 4 + 1
-    _spread(ev).withColumn(
+    ev.withColumn(
         "batch_id", (F.col("seq") / width).cast("int")
     ).write.partitionBy("batch_id").parquet(feed_dir)
     table = LakeTable(spark, root)
@@ -1021,7 +1047,7 @@ def q_cdc_op_stats_streaming(spark, sf_dir):
 
     tmp = _scratch("op_stats_stream")
     feed_dir, out_dir, ckpt = f"{tmp}/feed", f"{tmp}/out", f"{tmp}/ckpt"
-    f = _feed(spark, sf_dir)
+    f = _feed(spark, sf_dir, spread=True)
     ev = f.select(
         F.concat(F.lit("e"), F.col("seq").cast("string")).alias("event_id"),
         "seq",
@@ -1063,7 +1089,7 @@ def q_source_mysql_normalize(spark, sf_dir):
     named payload doc via the declared schema."""
     from replicator_spark.sources.normalize import from_mysql_rows
 
-    raw = _feed(spark, sf_dir).select(
+    raw = _feed(spark, sf_dir, spread=True).select(
         "seq",
         "op",
         F.to_json(
@@ -1074,7 +1100,7 @@ def q_source_mysql_normalize(spark, sf_dir):
             )
         ).alias("row_json"),
     )
-    out = from_mysql_rows(_spread(raw), ["uid", "fpath", "val"])
+    out = from_mysql_rows(raw, ["uid", "fpath", "val"])
     # ONE from_json instead of three get_json_object calls — and the
     # parsed struct lands as an attribute first (3 field references
     # block CollapseProject), otherwise Catalyst splits it back into
@@ -1105,14 +1131,14 @@ def q_source_pg_normalize(spark, sf_dir):
     real-named doc (``postgresql_stream.go:506-522``)."""
     from replicator_spark.sources.normalize import from_pg_tuples
 
-    raw = _feed(spark, sf_dir).select(
+    raw = _feed(spark, sf_dir, spread=True).select(
         "seq",
         F.create_map(
             F.lit("col_0"), F.col("user_id").cast("string"),
             F.lit("col_1"), F.col("repo"),
         ).alias("tuple"),
     )
-    out = from_pg_tuples(_spread(raw), rename={"col_0": "uid", "col_1": "repo_name"})
+    out = from_pg_tuples(raw, rename={"col_0": "uid", "col_1": "repo_name"})
     parsed = out.select(
         "seq", F.from_json("doc", "uid string, repo_name string").alias("_d")
     )
@@ -1144,10 +1170,10 @@ def q_source_kafka_normalize(spark, sf_dir):
             F.lit('","data":"payload"}'),
         ),
     ).otherwise(F.lit('{"k":1}'))
-    raw = _feed(spark, sf_dir).select(
+    raw = _feed(spark, sf_dir, spread=True).select(
         "seq", F.concat(F.lit("topic-"), F.col("repo")).alias("topic"), value.alias("value")
     )
-    out = from_kafka_messages(_spread(raw), default_db="srcdb")
+    out = from_kafka_messages(raw, default_db="srcdb")
     return out.select("seq", "op", "db", "tbl")
 
 
@@ -1169,7 +1195,7 @@ def q_source_cosmos_normalize(spark, sf_dir):
     infers as insert, the oldest quarter falls below the token."""
     from replicator_spark.sources.normalize import from_cosmos_documents
 
-    feed = _feed(spark, sf_dir)
+    feed = _feed(spark, sf_dir, spread=True)
     docs = feed.select(
         "seq",
         F.to_json(
@@ -1184,7 +1210,7 @@ def q_source_cosmos_normalize(spark, sf_dir):
         F.min(F.unix_timestamp("ts")), F.max(F.unix_timestamp("ts"))
     ).first()
     out = from_cosmos_documents(
-        _spread(docs),
+        docs,
         db="appdb",
         container="docs",
         now_ts=mx,
@@ -3226,7 +3252,7 @@ def q_repo_activity_stateful(spark, sf_dir):
 
     tmp = _scratch("repo_activity")
     feed_dir, out_dir, ckpt = f"{tmp}/feed", f"{tmp}/out", f"{tmp}/ckpt"
-    ev = _events_change_feed(spark, sf_dir)
+    ev = _events_change_feed(spark, sf_dir, spread=True)
     ev = ev.withColumn("ts", F.lit(None).cast("timestamp")).withColumn(
         "db", F.lit(None).cast("string")
     ).withColumn("tbl", F.lit(None).cast("string")).withColumn(
@@ -3236,7 +3262,7 @@ def q_repo_activity_stateful(spark, sf_dir):
     )
     ev.select(
         "event_id", "seq", "op", "ts", "db", "tbl", "key", "doc", "old", "meta", "batch_id"
-    ).write.parquet(feed_dir)
+    ).coalesce(8).write.parquet(feed_dir)
     q = run_repo_activity_stream(spark, feed_dir, out_dir, ckpt, max_files_per_trigger=8)
     q.awaitTermination()
     out = spark.read.parquet(out_dir)
@@ -3295,11 +3321,11 @@ def q_cdc_replay_roundtrip(spark, sf_dir):
 
     tmp = _scratch("cdc_roundtrip")
     feed_dir, root = f"{tmp}/feed", f"{tmp}/table"
-    ev = _events_change_feed(spark, sf_dir)
+    ev = _events_change_feed(spark, sf_dir, spread=True)
     # out-of-order delivery across batches + at-least-once redelivery:
     # exactly the adversarial stream the tombstone/LWW design exists for
     ev = ev.unionByName(ev.where(F.col("seq") % 7 == 0))
-    _spread(ev).withColumn(
+    ev.withColumn(
         "batch_id", F.pmod(F.col("seq"), F.lit(4)).cast("int")
     ).write.partitionBy("batch_id").parquet(feed_dir)
 
@@ -3354,7 +3380,7 @@ def q_cdc_partial_update_merge(spark, sf_dir):
 
     tmp = _scratch("partial_merge")
     feed_dir, root = f"{tmp}/feed", f"{tmp}/table"
-    f = _feed(spark, sf_dir)
+    f = _feed(spark, sf_dir, spread=True)
     is_part = (F.col("op") == "update") & (F.col("user_id") % 2 == 0)
     doc = (
         F.when(F.col("op") == "delete", F.lit("{}"))
@@ -3385,7 +3411,7 @@ def q_cdc_partial_update_merge(spark, sf_dir):
     # seq = event_id → parquet column stats answer the max directly (r6)
     max_seq = _load(spark, sf_dir, "events").agg(F.max("event_id")).first()[0]
     width = max_seq // 4 + 1
-    _spread(ev).withColumn(
+    ev.withColumn(
         "batch_id", (F.col("seq") / width).cast("int")
     ).write.partitionBy("batch_id").parquet(feed_dir)
 
