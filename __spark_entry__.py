@@ -1314,7 +1314,7 @@ def q_text_token_count(spark, sf_dir):
     GPT-2-pretokenizer regex count (ops.text.BPE_PRETOKEN_RE)."""
     from replicator_spark.ops.text import BPE_PRETOKEN_RE
 
-    docs = _load(spark, sf_dir, "documents")
+    docs = _spread(_load(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
@@ -1335,7 +1335,7 @@ FROM documents
 
 def q_text_quality(spark, sf_dir):
     """Quality scoring: stopword ('the') frequency + mean token length."""
-    docs = _load(spark, sf_dir, "documents")
+    docs = _spread(_load(spark, sf_dir, "documents"))
     n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
     n_the = (
         (F.length("text") - F.length(F.replace(F.col("text"), F.lit("the"), F.lit(""))))
@@ -1398,7 +1398,7 @@ def q_boilerplate_lines(spark, sf_dir):
     line in >= 3 distinct docs is boilerplate; per-doc line counts."""
     from replicator_spark.ops.text import boilerplate_line_stats
 
-    docs = _load(spark, sf_dir, "documents")
+    docs = _spread(_load(spark, sf_dir, "documents"))
     # the synthetic docs are single-line; plant deterministic line
     # breaks so the line-level operator has real lines to work on
     docs = docs.select(
@@ -1454,7 +1454,7 @@ def q_pii_redaction(spark, sf_dir):
     the oracle replicates both steps."""
     from replicator_spark.ops.text import redact_pii
 
-    docs = _load(spark, sf_dir, "documents")
+    docs = _spread(_load(spark, sf_dir, "documents"))
     planted = docs.select(
         "doc_id",
         F.concat(
@@ -1644,7 +1644,7 @@ def q_repetition_filter(spark, sf_dir):
     and duplicate-line character fraction)."""
     from replicator_spark.ops.text import repetition_stats
 
-    return repetition_stats(_load(spark, sf_dir, "documents"))
+    return repetition_stats(_spread(_load(spark, sf_dir, "documents")))
 
 
 SQL_repetition_filter = """
@@ -2088,7 +2088,7 @@ def q_quality_unigram_logprob(spark, sf_dir):
     per-doc avg."""
     from replicator_spark.ops.text import unigram_logprob
 
-    return unigram_logprob(_load(spark, sf_dir, "documents"))
+    return unigram_logprob(_spread(_load(spark, sf_dir, "documents")))
 
 
 SQL_quality_unigram_logprob = r"""
@@ -2283,7 +2283,7 @@ def q_doc_chunking(spark, sf_dir):
     from replicator_spark.ops.text import chunk_documents
 
     return chunk_documents(
-        _load(spark, sf_dir, "documents"), max_tokens=64, overlap=8
+        _spread(_load(spark, sf_dir, "documents")), max_tokens=64, overlap=8
     )
 
 
@@ -2390,7 +2390,7 @@ FROM s2 GROUP BY 1, 2
 def q_knn_bruteforce(spark, sf_dir):
     """Brute-force cosine top-3 neighbors for query vectors 0-4
     (similarity-search baseline; JVM-side F.zip_with/F.aggregate)."""
-    emb = _load(spark, sf_dir, "embeddings").select(
+    emb = _spread(_load(spark, sf_dir, "embeddings")).select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
     q = emb.where(F.col("vec_id") < 5).select(
@@ -2442,7 +2442,7 @@ def q_text_quality_ops(spark, sf_dir):
     stopword/uppercase/repetition signals)."""
     from replicator_spark.ops.text import quality_features
 
-    return quality_features(_load(spark, sf_dir, "documents"))
+    return quality_features(_spread(_load(spark, sf_dir, "documents")))
 
 
 SQL_text_quality_ops = r"""
@@ -2466,7 +2466,7 @@ def q_lang_id(spark, sf_dir):
     heuristic, JVM-side."""
     from replicator_spark.ops.text import detect_lang
 
-    out = detect_lang(_load(spark, sf_dir, "documents"))
+    out = detect_lang(_spread(_load(spark, sf_dir, "documents")))
     return out.select(
         "doc_id", "lang_pred", F.round("lang_pred_score", 2).alias("score")
     )
