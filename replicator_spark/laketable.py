@@ -308,15 +308,27 @@ class LakeTable:
         buckets: Sequence[int] | None = None,
         include_deleted: bool = False,
         include_engine_cols: bool = False,
+        resolve: bool = True,
     ) -> DataFrame:
         """Read a snapshot (time travel via ``version``), optionally
         pruned to a bucket list — the file-level partition pruning that
-        MERGE relies on. Resolves merge-on-read deltas when present."""
+        MERGE relies on. Resolves merge-on-read deltas when present.
+
+        ``resolve=False`` skips the per-key LWW collapse across
+        base+delta files — sound ONLY for tables whose key set is
+        append-only-unique by construction (each key written exactly
+        once across all batches, no deletes-then-reinserts), where the
+        resolve is a semantic no-op that still costs a full max_by
+        shuffle per read. The incremental dedup indexes qualify: the
+        arrival-order guard forbids re-ingesting an id, the batch
+        ledger makes replays no-ops, and each batch emits one row per
+        key (r6 — saved ~1 s/batch of pure shuffle at sf1.0)."""
         return self._read_snapshot(
             self._snap(version),
             buckets=buckets,
             include_deleted=include_deleted,
             include_engine_cols=include_engine_cols,
+            resolve=resolve,
         )
 
     def _read_snapshot(
@@ -325,6 +337,7 @@ class LakeTable:
         buckets: Sequence[int] | None = None,
         include_deleted: bool = False,
         include_engine_cols: bool = False,
+        resolve: bool = True,
     ) -> DataFrame:
         """read() body over an already-resolved snapshot — callers that
         derive per-snapshot state first (bucket routing, key columns)
@@ -340,7 +353,7 @@ class LakeTable:
         base_files = [f for b in bucket_ids for f in snap.files.get(b, [])]
         delta_files = [f for b in bucket_ids for f in deltas.get(b, [])]
         df = self._read_files(snap, base_files + delta_files)
-        if delta_files:
+        if delta_files and resolve:
             # per-key LWW resolution across base + deltas (mor read path)
             # on the table's persisted merge key — not a hardcoded default
             df = lww_latest(df, self.key_columns(snap), LAST_SEQ_COL, tiebreak_col=None)

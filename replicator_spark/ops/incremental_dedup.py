@@ -184,7 +184,11 @@ class MinHashIndex:
         CURRENT index snapshot: "earlier" = any index row with a
         smaller id (the post-merge snapshot includes the batch, so
         same-batch members count)."""
-        index = self.table.read().select("band_key", F.col("doc_id").alias("old_id"))
+        # resolve=False: index keys are append-only-unique (see
+        # laketable.read) — skip the no-op LWW shuffle per batch (r6)
+        index = self.table.read(resolve=False).select(
+            "band_key", F.col("doc_id").alias("old_id")
+        )
         mine = entries.select("band_key", F.col("doc_id").alias("new_id"))
         joined = mine.join(index, "band_key").where(
             F.col("old_id") < F.col("new_id")

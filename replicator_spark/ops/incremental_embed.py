@@ -293,7 +293,10 @@ class EmbeddingIndex:
         import pandas as pd
 
         rk_cols = [f"rk{r + 1}" for r in range(N_REFINE)]
-        vecs = self.vectors.read().select("vec_id", "v")
+        # resolve=False: index keys are append-only-unique (arrival-order
+        # guard + ledger idempotence + one row per key per batch), so the
+        # LWW collapse is a no-op that costs a full shuffle per batch
+        vecs = self.vectors.read(resolve=False).select("vec_id", "v")
 
         def _bucketed(side: DataFrame, prefix: str) -> DataFrame:
             # FLAT per-bucket encoding: separate id/rk lists plus ONE
@@ -311,7 +314,8 @@ class EmbeddingIndex:
             )
 
         index = _bucketed(
-            self.bands.read().join(F.broadcast(vecs), "vec_id"), "o"
+            self.bands.read(resolve=False).join(F.broadcast(vecs), "vec_id"),
+            "o",
         )
         mine = _bucketed(
             prepared.select("band_key", "vec_id", *rk_cols, "v"), "n"
