@@ -379,3 +379,60 @@ def test_empty_batch_merge_commits_cleanly(spark, tmp_path):
     )
     assert t.merge(ne, "e2", mode="mor").applied == 1
     assert t.read().count() == 1
+
+
+def test_mor_read_unresolved_append_only(spark, tmp_path):
+    """r6: ``read(resolve=False)`` skips the per-key LWW collapse across
+    base+deltas. For an append-only-unique key set (each key written
+    exactly once — the incremental dedup indexes' shape) it must return
+    exactly the same rows while dropping the max_by shuffle; once a key
+    is superseded it returns BOTH versions — which is why it is only
+    sound for append-only tables."""
+    from pyspark.sql import types as T
+
+    def _explain(df):
+        jqe = df._jdf.queryExecution()
+        return df.sparkSession._jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+            jqe, "formatted"
+        )
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("val", T.StringType()),
+            T.StructField("seq", T.LongType()),
+            T.StructField("op", T.StringType()),
+        ]
+    )
+    table = LakeTable(spark, str(tmp_path / "t"))
+    table.create(schema, num_buckets=4, key_cols=["id"])
+    for b in range(3):  # disjoint keys per batch → base + unresolved deltas
+        rows = [(b * 10 + i, f"v{b}-{i}", b * 10 + i, "upsert") for i in range(10)]
+        table.merge(
+            spark.createDataFrame(rows, schema),
+            f"s-{b}",
+            mode="mor",
+            key_cols=["id"],
+            compact_after_deltas=100,
+        )
+    assert any(v for v in table._snap().props["deltas"].values()), "deltas expected"
+    resolved = table.read()
+    unresolved = table.read(resolve=False)
+    assert sorted(resolved.columns) == sorted(unresolved.columns)
+    assert "max_by" in _explain(resolved)
+    assert "max_by" not in _explain(unresolved)
+    cols = sorted(resolved.columns)
+    assert sorted(map(tuple, resolved.select(*cols).collect())) == sorted(
+        map(tuple, unresolved.select(*cols).collect())
+    )
+    # supersede one key: the resolved read collapses it, the unresolved
+    # read exposes both physical rows (the documented unsoundness)
+    table.merge(
+        spark.createDataFrame([(0, "v-new", 999, "upsert")], schema),
+        "s-3",
+        mode="mor",
+        key_cols=["id"],
+        compact_after_deltas=100,
+    )
+    assert table.read().where("id = 0").count() == 1
+    assert table.read(resolve=False).where("id = 0").count() == 2
